@@ -1,0 +1,191 @@
+"""Typed configuration tree for the whole framework.
+
+The reference spreads configuration over three mechanisms (argparse CLIs,
+tf.app.flags, and a mutable global ``Config`` class -- see reference
+``Foreground_Instance_Colorization/obj_lib/config.py:4-17`` and
+``Instance_Matching/matching_main.py:18-77``).  Here everything is one
+serializable dataclass tree; each training run persists its config as JSON.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def _asdict(obj) -> Dict[str, Any]:
+    return dataclasses.asdict(obj)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout.
+
+    ``data`` is the batch-parallel axis (grads reduced with psum over ICI);
+    ``model`` optionally shards the mLSTM pixel-batch dimension and wide
+    conv channels for the large matching model.
+    """
+    data: int = 1
+    model: int = 1
+
+    @property
+    def axis_names(self) -> Tuple[str, str]:
+        return ("data", "model")
+
+
+@dataclass(frozen=True)
+class DTypePolicy:
+    """Computation dtype policy.
+
+    Parameters stay float32; ``compute`` selects the conv/matmul element type.
+    bfloat16 keeps the MXU at full rate; float32 is used for parity tests.
+    """
+    compute: str = "float32"   # 'float32' | 'bfloat16'
+    accum: str = "float32"
+
+
+@dataclass(frozen=True)
+class MatchingConfig:
+    """RMI referring-segmentation model (reference ``Instance_Matching/RMI_model.py:13-40``)."""
+    batch_size: int = 1
+    max_len: int = 15
+    vf_h: int = 96
+    vf_w: int = 96
+    H: int = 768
+    W: int = 768
+    vf_dim: int = 2048
+    vocab_size: int = 76
+    w_emb_dim: int = 1000
+    v_emb_dim: int = 1000
+    m_rnn_size: int = 500
+    w_rnn_size: int = 1000
+    fusion_type: str = "RMI"          # 'RMI' | 'RecurAttn'
+    use_attn: bool = False
+    backbone: str = "deeplab"         # 'deeplab' | 'fcn_8s' | 'segnet' | 'deeplab_v3plus'
+    # training (reference RMI_model.py:312-372)
+    start_lr: float = 2.5e-4
+    end_lr: float = 1e-5
+    lr_decay_step: int = 75000
+    lr_power: float = 0.9
+    weight_decay: float = 5e-4
+    max_iters: int = 100000
+    training_ignore_bg: bool = True
+    train_fusion_var_only: bool = True
+    snapshot_interval: int = 10000
+
+    def __post_init__(self):
+        if self.fusion_type == "RecurAttn":
+            object.__setattr__(self, "m_rnn_size", 256)
+            object.__setattr__(self, "w_emb_dim", 256)
+            object.__setattr__(self, "v_emb_dim", 256)
+            object.__setattr__(self, "w_rnn_size", 256)
+
+
+@dataclass(frozen=True)
+class FGGanConfig:
+    """Foreground instance-colorization GAN
+    (reference ``obj_colorization_main.py:159-207``, ``obj_lib/config.py``)."""
+    batch_size: int = 2
+    image_size: int = 192
+    small: bool = False               # 64px variant (reference input_pipeline.py:40-41)
+    num_classes: int = 25
+    vocab_size: int = 58
+    max_len: int = 15
+    block_type: str = "MRU"           # 'MRU' | 'Pix2Pix' | 'Residual'
+    base_channels: int = 64           # SIZE in models_collection.py:9
+    num_blocks: int = 1               # NUM_BLOCKS
+    noise_dim: int = 256
+    lstm_hybrid: bool = True
+    spectral_norm: bool = True        # Config.sn
+    proj_d: bool = False
+    wgan: bool = False
+    distance_map: bool = False
+    # training
+    lr_g: float = 2e-4
+    lr_d: float = 1e-4
+    optimizer: str = "adam"           # beta1=0, beta2=0.9 (graph_single.py:588)
+    max_iters: int = 100000
+    ld: float = 10.0                  # gradient-penalty coefficient
+    coeff_ac: float = 1.0
+    coeff_l1: float = 100.0
+    disc_steps: int = 1
+    snapshot_interval: int = 10000
+
+
+@dataclass(frozen=True)
+class BGGanConfig:
+    """Background colorization GAN (reference ``bg_colorization_main.py:978-1004``)."""
+    batch_size: int = 1
+    image_size: int = 768
+    vocab_size: int = 18
+    max_len: int = 8
+    ngf: int = 64
+    ndf: int = 64
+    seg_classes: int = 3
+    residual_enc_g: bool = True
+    residual_enc_d: bool = True
+    multi_residual: bool = True
+    # training
+    lr: float = 2e-4
+    beta1: float = 0.5
+    max_steps: int = 100000
+    gan_weight: float = 1.0
+    l1_weight: float = 100.0
+    seg_weight: float = 100.0
+    ema_decay: float = 0.99
+    snapshot_interval: int = 10000
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level interactive pipeline (reference ``sketchyscene_colorization_main.py:58-98``)."""
+    data_base_dir: str = "examples"
+    results_base_dir: str = "outputs"
+    match_vocab_path: str = "data/match_vocab.txt"
+    fg_vocab_path: str = "data/fg_vocab.txt"
+    bg_vocab_path: str = "data/bg_vocab.txt"
+    match_ckpt_dir: str = "checkpoints/matching"
+    fg_ckpt_dir: str = "checkpoints/fg_gan"
+    bg_ckpt_dir: str = "checkpoints/bg_gan"
+    score_thresh: float = 1e-9        # fg_matching_utils.py:25
+    mask_occupied_threshold: float = 0.5
+    color_gradient: bool = True
+    image_size: int = 768
+    instance_size: int = 192
+
+
+@dataclass(frozen=True)
+class FrameworkConfig:
+    matching: MatchingConfig = field(default_factory=MatchingConfig)
+    fg_gan: FGGanConfig = field(default_factory=FGGanConfig)
+    bg_gan: BGGanConfig = field(default_factory=BGGanConfig)
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    dtype: DTypePolicy = field(default_factory=DTypePolicy)
+    seed: int = 0
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(_asdict(self), indent=2, **kw)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @staticmethod
+    def from_json(text: str) -> "FrameworkConfig":
+        raw = json.loads(text)
+        return FrameworkConfig(
+            matching=MatchingConfig(**raw.get("matching", {})),
+            fg_gan=FGGanConfig(**raw.get("fg_gan", {})),
+            bg_gan=BGGanConfig(**raw.get("bg_gan", {})),
+            pipeline=PipelineConfig(**raw.get("pipeline", {})),
+            mesh=MeshConfig(**raw.get("mesh", {})),
+            dtype=DTypePolicy(**raw.get("dtype", {})),
+            seed=raw.get("seed", 0),
+        )
+
+    @staticmethod
+    def load(path: str) -> "FrameworkConfig":
+        with open(path) as f:
+            return FrameworkConfig.from_json(f.read())
