@@ -1,0 +1,80 @@
+"""Normalization primitives.
+
+Three distinct batch-norm semantics appear in the reference and all must be
+reproduced exactly:
+
+1. **Frozen BN with a stored factor** (DeepLab backbone,
+   ``deeplab_model.py:176-231``): normalizes with stored mean/var each divided
+   by a stored scalar ``factor``; eps = 0.001; beta/gamma non-trainable.
+2. **Batch-stats BN** (GANs, ``bg_colorization_main.py:86-98``,
+   ``models_collection.py:36-46``): normalizes with the *current batch*
+   statistics even at test time; eps = 1e-5.
+3. **Conditional batch-stats BN** (FG generator,
+   ``models_collection.py:22-34``): batch statistics, but offset/scale are
+   per-class embeddings looked up by label.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def frozen_batch_norm(x, mean, var, beta, gamma, factor, eps: float = 0.001):
+    """y = gamma * (x - mean/factor) / sqrt(var/factor + eps) + beta."""
+    inv_factor = 1.0 / factor
+    m = mean * inv_factor
+    v = var * inv_factor
+    inv = gamma * (1.0 / jnp.sqrt(v + eps))
+    return x * inv + (beta - m * inv)
+
+
+def batch_stats_norm(x, offset, scale, eps: float = 1e-5):
+    """Per-channel batch statistics over (N, H, W); applied even in eval."""
+    mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+    var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+    inv = scale * (1.0 / jnp.sqrt(var + eps))
+    return (x - mean) * inv + offset
+
+
+def conditional_batch_stats_norm(x, labels, offset_table, scale_table, eps: float = 1e-5):
+    """Batch-stats BN with per-class offset/scale.
+
+    x: [N, H, W, C]; labels: [N] int; offset/scale tables: [n_labels, C].
+    """
+    mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+    var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+    offset = offset_table[labels][:, None, None, :]   # [N,1,1,C]
+    scale = scale_table[labels][:, None, None, :]
+    return (x - mean) / jnp.sqrt(var + eps) * scale + offset
+
+
+def l2_normalize(x, axis: int = -1, eps: float = 1e-12):
+    """tf.nn.l2_normalize: x / max(||x||_2, eps) along axis."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def _sn_l2norm(v, eps: float = 1e-12):
+    # reference sn.py:8-9: v / (sqrt(sum v^2) + eps)
+    return v / (jnp.sqrt(jnp.sum(v ** 2)) + eps)
+
+
+def spectral_normalize(w: jnp.ndarray, u: jnp.ndarray,
+                       num_iters: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-step power-iteration spectral normalization
+    (reference ``obj_lib/sn.py:12-52``).
+
+    w: any-rank weight; u: persistent [1, out_dim] vector (out_dim = last axis
+    of w).  Returns (w / sigma, updated u).  The caller threads ``u`` through
+    its state and decides when to commit the update (the reference commits it
+    as a control dependency of the D optimizer step).
+    """
+    w_shape = w.shape
+    w2 = w.reshape(-1, w_shape[-1])
+    v = None
+    for _ in range(num_iters):
+        v = _sn_l2norm(u @ w2.T)      # [1, in_flat]
+        u = _sn_l2norm(v @ w2)        # [1, out]
+    sigma = (v @ w2 @ u.T)[0, 0]
+    return (w2 / sigma).reshape(w_shape), u
