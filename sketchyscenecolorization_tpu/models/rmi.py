@@ -1,0 +1,235 @@
+"""RMI referring-expression segmentation model, TPU-first.
+
+Reference: ``Instance_Matching/RMI_model.py``.  Architecture: DeepLab-v2
+features (1x96x96x2048) -> 1x1 conv to 1000-d + L2 norm; 8-d spatial coords;
+1000-d word embeddings; word LSTM (1000); multimodal LSTM (500) run over
+every feature-map cell as an independent sequence of length <=15; atanh-like
+output transform; 1x1 conv to 1 channel; bilinear upsample to 768; sigmoid.
+
+TPU redesign of the hot op
+--------------------------
+The reference feeds ``tf.nn.dynamic_rnn`` a materialized
+[N*96*96, 15, 3008] tensor (tiling visual+spatial features over time and
+word+sentence features over pixels -- ``RMI_model.py:169-200``), ~2.6 GB of
+HBM traffic per step.  Here the mLSTM input projection is *factored*:
+
+  gates[p, t] = visual[p] @ W_v + spatial[p] @ W_s        (pixel term, once)
+              + emb[t] @ W_w + lang[t] @ W_l + b           (step term, tiny)
+              + h[p, t-1] @ W_h                            (recurrent matmul)
+
+which is mathematically identical (matmul distributes over the concat) but
+reduces the per-step work to one [P, 500] x [500, 2000] MXU matmul with a
+[P, 2000] carry -- the main lever for the passes/sec target.  The weight
+``mLSTM/w`` keeps the exact TF row layout [3008+500, 2000] so checkpoints
+map 1:1.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MatchingConfig
+from ..ops.conv import conv2d
+from ..ops.image import tf1_resize_bilinear
+from ..ops.lstm import lstm_cell, masked_lstm_scan
+from ..ops.norm import l2_normalize
+from ..ops.spatial import generate_spatial_batch
+from ..ops.activations import atanh_transform
+from . import deeplab
+
+Params = Dict[str, Any]
+
+
+def _glorot(key, shape):
+    fan_in, fan_out = shape[0], shape[1]
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
+
+
+def _xavier_conv(key, shape):
+    fan_in = shape[0] * shape[1] * shape[2]
+    fan_out = shape[0] * shape[1] * shape[3]
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
+
+
+def init_params(key, cfg: MatchingConfig) -> Params:
+    """Parameter tree: ``ResNet/*`` (backbone) + ``text_sketchyscene/*``."""
+    k_bb, k_proj, k_emb, k_w, k_m, k_out, k_attn = jax.random.split(key, 7)
+    if cfg.fusion_type == "RecurAttn":
+        # mLSTM consumes the attended sentence vector (RMI_model.py:254-263)
+        fusion_in = cfg.w_rnn_size
+    else:
+        fusion_in = cfg.v_emb_dim + cfg.w_emb_dim + cfg.w_rnn_size + 8
+    text: Params = {
+        "visual_feat_projection": {
+            "DW": _xavier_conv(k_proj, (1, 1, cfg.vf_dim, cfg.v_emb_dim)),
+            "biases": jnp.zeros((cfg.v_emb_dim,), jnp.float32),
+        },
+        "embedding": jax.random.uniform(k_emb, (cfg.vocab_size, cfg.w_emb_dim),
+                                        jnp.float32, -0.08, 0.08),
+        "wLSTM": {
+            "w": _glorot(k_w, (cfg.w_emb_dim + cfg.w_rnn_size, 4 * cfg.w_rnn_size)),
+            "b": jnp.zeros((4 * cfg.w_rnn_size,), jnp.float32),
+        },
+        "mLSTM": {
+            "w": _glorot(k_m, (fusion_in + cfg.m_rnn_size, 4 * cfg.m_rnn_size)),
+            "b": jnp.zeros((4 * cfg.m_rnn_size,), jnp.float32),
+        },
+        "m_lstm_output_projection": {
+            "DW": _xavier_conv(k_out, (1, 1, cfg.m_rnn_size, 1)),
+            "biases": jnp.zeros((1,), jnp.float32),
+        },
+    }
+    if cfg.use_attn:
+        text["attn_fc"] = {
+            "DW": _glorot(k_attn, (cfg.w_rnn_size, 1)),
+            "biases": jnp.zeros((1,), jnp.float32),
+        }
+    if cfg.fusion_type == "RecurAttn":
+        text["h_proj"] = {
+            "DW": _glorot(k_attn, (cfg.m_rnn_size, cfg.w_rnn_size)),
+            "biases": jnp.zeros((cfg.w_rnn_size,), jnp.float32),
+        }
+    return {
+        "ResNet": deeplab.init_params(k_bb),
+        "text_sketchyscene": text,
+    }
+
+
+def _rmi_fusion(text: Params, cfg: MatchingConfig,
+                visual_norm: jnp.ndarray,   # [N, h, w, v_emb]
+                spatial: jnp.ndarray,       # [N, h, w, 8]
+                emb: jnp.ndarray,           # [N, T, w_emb]
+                lang: jnp.ndarray,          # [N, T, w_rnn] (L2-normed wLSTM out)
+                seq_len: jnp.ndarray,       # [N]
+                ) -> jnp.ndarray:
+    """Factored mLSTM over all pixels; returns m_last_h [N, h, w, m_rnn]."""
+    n, h, w, _ = visual_norm.shape
+    t_max = emb.shape[1]
+    m = cfg.m_rnn_size
+    wm = text["mLSTM"]["w"]
+    bm = text["mLSTM"]["b"]
+    v_dim, w_dim, l_dim = cfg.v_emb_dim, cfg.w_emb_dim, cfg.w_rnn_size
+    w_v = wm[:v_dim]
+    w_w = wm[v_dim:v_dim + w_dim]
+    w_l = wm[v_dim + w_dim:v_dim + w_dim + l_dim]
+    w_s = wm[v_dim + w_dim + l_dim:v_dim + w_dim + l_dim + 8]
+    w_h = wm[v_dim + w_dim + l_dim + 8:]
+
+    pixel_term = (visual_norm.reshape(n, h * w, v_dim) @ w_v
+                  + spatial.reshape(n, h * w, 8) @ w_s)          # [N, P, 4m]
+    step_term = emb @ w_w + lang @ w_l + bm                      # [N, T, 4m]
+
+    c0 = jnp.zeros((n, h * w, m), jnp.float32)
+    h0 = jnp.zeros((n, h * w, m), jnp.float32)
+
+    use_attn = cfg.use_attn
+    if use_attn:
+        attn_logits = (lang.reshape(n * t_max, l_dim) @ text["attn_fc"]["DW"]
+                       + text["attn_fc"]["biases"]).reshape(n, t_max)
+        attn = jax.nn.softmax(attn_logits, axis=-1)              # [N, T]
+        acc0 = jnp.zeros((n, h * w, m), jnp.float32)
+    else:
+        attn = jnp.zeros((n, t_max), jnp.float32)
+        acc0 = jnp.zeros((n, 1, 1), jnp.float32)                 # unused placeholder
+
+    def step(carry, inp):
+        c, hh, acc = carry
+        s_t, t, a_t = inp
+        gates = pixel_term + s_t[:, None, :] + hh @ w_h          # [N, P, 4m]
+        new_c, new_h = lstm_cell(gates, c)
+        valid = (t < seq_len)[:, None, None]
+        c = jnp.where(valid, new_c, c)
+        hh = jnp.where(valid, new_h, hh)
+        if use_attn:
+            out_t = jnp.where(valid, hh, 0.0)                    # dynamic_rnn zeros past len
+            acc = acc + a_t[:, None, None] * out_t
+        return (c, hh, acc), None
+
+    ts = jnp.arange(t_max)
+    (c, hh, acc), _ = jax.lax.scan(
+        step, (c0, h0, acc0),
+        (jnp.swapaxes(step_term, 0, 1), ts, jnp.swapaxes(attn, 0, 1)))
+
+    m_last = acc if use_attn else hh
+    return m_last.reshape(n, h, w, m)
+
+
+def _recur_attn_fusion(text: Params, cfg: MatchingConfig,
+                       visual_norm: jnp.ndarray,   # [N, h, w, v_emb(=m)]
+                       lang_out: jnp.ndarray,      # [N, T, w_rnn] raw wLSTM outputs
+                       words: jnp.ndarray,         # [N, T]
+                       ) -> jnp.ndarray:
+    """LBIE-style recurrent-attention fusion (reference ``RMI_model.py:224-273``).
+
+    Per word step (skipped when the token is <pad>): project h to the word
+    space, softmax-attend over the wLSTM outputs, feed the attended vector to
+    the mLSTM.  h is initialized from the visual features.
+    """
+    n, h, w, v_dim = visual_norm.shape
+    t_max = words.shape[1]
+    m = cfg.m_rnn_size
+    wm, bm = text["mLSTM"]["w"], text["mLSTM"]["b"]
+    wp, bp = text["h_proj"]["DW"], text["h_proj"]["biases"]
+
+    h0 = visual_norm.reshape(n, h * w, v_dim)
+    c0 = jnp.zeros((n, h * w, m), jnp.float32)
+    lang_t = jnp.swapaxes(lang_out, 1, 2)                        # [N, w_rnn, T]
+
+    def step(carry, inp):
+        c, hh = carry
+        tok = inp                                                # [N]
+        h_proj = hh @ wp + bp                                    # [N, P, w_rnn]
+        attn_map = jax.nn.softmax(jnp.einsum("npd,ndt->npt", h_proj, lang_t), axis=-1)
+        attn_feat = jnp.einsum("npt,ntd->npd", attn_map, lang_out)   # [N, P, w_rnn]
+        gates = jnp.concatenate(
+            [attn_feat, hh], axis=-1) @ wm + bm
+        new_c, new_h = lstm_cell(gates, c)
+        valid = (tok != 0)[:, None, None]
+        c = jnp.where(valid, new_c, c)
+        hh = jnp.where(valid, new_h, hh)
+        return (c, hh), None
+
+    (c, hh), _ = jax.lax.scan(step, (c0, h0), jnp.swapaxes(words, 0, 1))
+    return hh.reshape(n, h, w, m)
+
+
+class RMIOutputs(NamedTuple):
+    up: jnp.ndarray      # [N, H, W, 1] logits at full resolution
+    sigm: jnp.ndarray    # sigmoid(up)
+    pred: jnp.ndarray    # [N, h, w, 1] logits at feature resolution
+
+
+def apply(params: Params, cfg: MatchingConfig,
+          images: jnp.ndarray,        # [N, H, W, 3] mean-subtracted
+          words: jnp.ndarray,         # [N, T] int32 (end-padded)
+          seq_len: jnp.ndarray,       # [N] int32
+          ) -> RMIOutputs:
+    feat = deeplab.apply(params["ResNet"], images, intermediate=True)
+    text = params["text_sketchyscene"]
+
+    visual = conv2d(feat, text["visual_feat_projection"]["DW"]) \
+        + text["visual_feat_projection"]["biases"]
+    visual_norm = l2_normalize(visual, axis=-1)
+
+    n = images.shape[0]
+    spatial = jnp.asarray(generate_spatial_batch(n, cfg.vf_h, cfg.vf_w))
+    emb = text["embedding"][words]                               # [N, T, w_emb]
+    w_out, _ = masked_lstm_scan(emb, seq_len, text["wLSTM"]["w"],
+                                text["wLSTM"]["b"], cfg.w_rnn_size)
+
+    if cfg.fusion_type == "RMI":
+        lang = l2_normalize(w_out, axis=-1)
+        m_last = _rmi_fusion(text, cfg, visual_norm, spatial, emb, lang, seq_len)
+    else:
+        m_last = _recur_attn_fusion(text, cfg, visual_norm, w_out, words)
+
+    y = atanh_transform(m_last)
+    pred = conv2d(y, text["m_lstm_output_projection"]["DW"]) \
+        + text["m_lstm_output_projection"]["biases"]             # [N, h, w, 1]
+    up = tf1_resize_bilinear(pred, cfg.H, cfg.W)
+    return RMIOutputs(up=up, sigm=jax.nn.sigmoid(up), pred=pred)
