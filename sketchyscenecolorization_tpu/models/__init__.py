@@ -1,1 +1,1 @@
-from . import deeplab, rmi
+from . import deeplab, rmi, fg_gan, bg_gan, gan_layers
