@@ -1,0 +1,256 @@
+"""Training-step tests: losses match hand computations, one step runs and
+reduces the loss, bias-LR multiplier applies, and data-parallel execution
+over the 8-device CPU mesh matches single-device results."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sketchyscenecolorization_tpu.config import (
+    BGGanConfig, FGGanConfig, MatchingConfig,
+)
+from sketchyscenecolorization_tpu import parallel
+from sketchyscenecolorization_tpu.train import (
+    acgan_focal_loss, bg_gan_losses, masked_l1_loss,
+    create_bg_gan_state, create_fg_gan_state, create_matching_state,
+    fg_gan_lr_decay, make_bg_gan_train_step, make_fg_gan_train_step,
+    make_matching_train_step, smooth_l1, tf1_polynomial_decay,
+    weighted_logistic_loss, wgan_sn_losses,
+)
+from sketchyscenecolorization_tpu.models import rmi
+
+
+SMALL_MATCH = MatchingConfig(vf_h=6, vf_w=6, H=48, W=48, vf_dim=2048,
+                             vocab_size=12, w_emb_dim=16, v_emb_dim=16,
+                             m_rnn_size=8, w_rnn_size=16, max_len=5,
+                             lr_decay_step=100)
+
+
+# ---------------------------------------------------------------- losses
+
+def test_weighted_logistic_loss_is_sum():
+    scores = jnp.array([0.5, -1.0, 2.0])
+    labels = jnp.array([1.0, 0.0, 1.0])
+    expect = np.sum(np.maximum(scores, 0) - scores * labels
+                    + np.log1p(np.exp(-np.abs(scores))))
+    np.testing.assert_allclose(weighted_logistic_loss(scores, labels), expect,
+                               rtol=1e-6)
+
+
+def test_weighted_logistic_loss_mask_equals_gather():
+    rng = np.random.RandomState(0)
+    scores = jnp.asarray(rng.randn(100), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 2, 100), jnp.float32)
+    mask = jnp.asarray(rng.randint(0, 2, 100), jnp.float32)
+    masked = weighted_logistic_loss(scores, labels, valid_mask=mask)
+    gathered = weighted_logistic_loss(scores[mask.astype(bool)],
+                                      labels[mask.astype(bool)])
+    np.testing.assert_allclose(masked, gathered, rtol=1e-5)
+
+
+def test_tf1_polynomial_decay():
+    sched = tf1_polynomial_decay(2.5e-4, 1e-5, 75000, 0.9)
+    np.testing.assert_allclose(sched(0), 2.5e-4, rtol=1e-6)
+    np.testing.assert_allclose(sched(75000), 1e-5, rtol=1e-6)
+    np.testing.assert_allclose(sched(200000), 1e-5, rtol=1e-6)  # clamped
+    mid = (2.5e-4 - 1e-5) * (0.5 ** 0.9) + 1e-5
+    np.testing.assert_allclose(sched(37500), mid, rtol=1e-6)
+
+
+def test_fg_gan_lr_decay_floor():
+    np.testing.assert_allclose(fg_gan_lr_decay(0, 100000), 1.0)
+    np.testing.assert_allclose(fg_gan_lr_decay(100000, 100000), 0.2, rtol=1e-6)
+    np.testing.assert_allclose(fg_gan_lr_decay(50000, 100000), 0.55, rtol=1e-6)
+
+
+def test_smooth_l1():
+    pred = jnp.array([0.0, 0.0])
+    target = jnp.array([0.5, 3.0])
+    # |0.5| < 1 -> 0.5*0.25 ; |3| >= 1 -> 3-0.5
+    np.testing.assert_allclose(smooth_l1(pred, target),
+                               (0.125 + 2.5) / 2, rtol=1e-6)
+
+
+def test_wgan_sn_losses():
+    fake = jnp.array([0.3, -0.7])
+    real = jnp.array([1.2, 0.1])
+    g, d = wgan_sn_losses(fake, real)
+    np.testing.assert_allclose(g, np.mean(np.log1p(np.exp(-fake))), rtol=1e-5)
+    np.testing.assert_allclose(
+        d, np.mean(np.log1p(np.exp(fake))) + np.mean(np.log1p(np.exp(-real))),
+        rtol=1e-5)
+
+
+def test_acgan_focal_loss_shapes():
+    rng = jax.random.PRNGKey(0)
+    logits = jax.random.normal(rng, (4, 25))
+    labels = jnp.array([1, 2, 3, 4])
+    g, d = acgan_focal_loss(logits, labels, logits, labels, 25)
+    assert np.isfinite(g) and np.isfinite(d)
+    # G part is 0.5 * plain xent
+    xent = -jax.nn.log_softmax(logits)[jnp.arange(4), labels]
+    np.testing.assert_allclose(g, 0.5 * jnp.mean(xent), rtol=1e-5)
+
+
+def test_masked_l1_matches_gather():
+    rng = np.random.RandomState(1)
+    t = jnp.asarray(rng.randn(1, 8, 8, 3), jnp.float32)
+    o = jnp.asarray(rng.randn(1, 8, 8, 3), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 3, (1, 8, 8)), jnp.int32)
+    got = masked_l1_loss(t, o, labels)
+    sel = np.abs(np.asarray(t - o)).reshape(-1, 3)[np.asarray(labels).reshape(-1) != 0]
+    np.testing.assert_allclose(got, sel.mean(), rtol=1e-5)
+
+
+# ---------------------------------------------------------------- matching
+
+def _matching_batch(cfg, batch=1, seed=0):
+    rng = np.random.RandomState(seed)
+    img = rng.randn(batch, cfg.H, cfg.W, 3).astype(np.float32) * 50
+    words = rng.randint(1, cfg.vocab_size, (batch, cfg.max_len)).astype(np.int32)
+    seq_len = np.full((batch,), 3, np.int32)
+    target = (rng.rand(batch, cfg.H, cfg.W, 1) > 0.5).astype(np.float32)
+    return {"image": jnp.asarray(img), "words": jnp.asarray(words),
+            "seq_len": jnp.asarray(seq_len), "target_mask": jnp.asarray(target)}
+
+
+def test_matching_train_step_decreases_loss():
+    cfg = SMALL_MATCH
+    params = rmi.init_params(jax.random.PRNGKey(0), cfg)
+    state = create_matching_state(params, cfg)
+    step = make_matching_train_step(cfg, donate=False)
+    batch = _matching_batch(cfg)
+    state1, m1 = step(state, batch)
+    assert np.isfinite(float(m1["cost"]))
+    # frozen backbone must not move
+    d0 = jax.tree_util.tree_leaves(params["ResNet"])
+    d1 = jax.tree_util.tree_leaves(state1.params["ResNet"])
+    for a, b in zip(d0, d1):
+        np.testing.assert_array_equal(a, b)
+    # a few steps on the same batch should reduce the loss
+    for _ in range(4):
+        state1, m = step(state1, batch)
+    assert float(m["cls_loss"]) < float(m1["cls_loss"])
+
+
+def test_matching_train_step_data_parallel_matches_single():
+    cfg = SMALL_MATCH
+    params = rmi.init_params(jax.random.PRNGKey(0), cfg)
+    batch = _matching_batch(cfg, batch=4)
+
+    state = create_matching_state(params, cfg)
+    step = make_matching_train_step(cfg, donate=False)
+    _, m_single = step(state, batch)
+
+    mesh = parallel.create_mesh(data=4)
+    state_r = parallel.replicate(create_matching_state(params, cfg), mesh)
+    batch_s = parallel.shard_batch(batch, mesh)
+    _, m_dp = step(state_r, batch_s)
+    np.testing.assert_allclose(float(m_dp["cls_loss"]),
+                               float(m_single["cls_loss"]), rtol=2e-4)
+
+
+# ---------------------------------------------------------------- fg gan
+
+FG_SMALL = FGGanConfig(batch_size=2, image_size=64, vocab_size=10, max_len=4,
+                       base_channels=4, noise_dim=8, max_iters=100)
+
+
+def _fg_batch(cfg, seed=0):
+    rng = np.random.RandomState(seed)
+    s = cfg.image_size
+    b = cfg.batch_size
+    return {
+        "images": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), jnp.float32),
+        "sketches": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), jnp.float32),
+        "images_d": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), jnp.float32),
+        "class_id": jnp.asarray(rng.randint(0, cfg.num_classes, (b,)), jnp.int32),
+        "class_id_d": jnp.asarray(rng.randint(0, cfg.num_classes, (b,)), jnp.int32),
+        "tokens": jnp.asarray(rng.randint(0, cfg.vocab_size, (b, cfg.max_len)),
+                              jnp.int32),
+    }
+
+
+def test_fg_gan_train_step_runs_and_updates():
+    cfg = FG_SMALL
+    state = create_fg_gan_state(jax.random.PRNGKey(0), cfg)
+    step = make_fg_gan_train_step(cfg, donate=False)
+    b = _fg_batch(cfg)
+    state1, metrics = step(state, b, _fg_batch(cfg, 1), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss_d"]))
+    assert np.isfinite(float(metrics["loss_g"]))
+    assert not bool(metrics["nan"])
+    # G and D params moved; sn state advanced
+    g0 = jax.tree_util.tree_leaves(state.g_params)
+    g1 = jax.tree_util.tree_leaves(state1.g_params)
+    assert any(not np.allclose(a, b2) for a, b2 in zip(g0, g1))
+    sn0 = jax.tree_util.tree_leaves(state.d_sn)
+    sn1 = jax.tree_util.tree_leaves(state1.d_sn)
+    assert any(not np.allclose(a, b2) for a, b2 in zip(sn0, sn1))
+    assert int(state1.step) == 1
+
+
+def test_fg_gan_nan_flag():
+    cfg = FG_SMALL
+    state = create_fg_gan_state(jax.random.PRNGKey(0), cfg)
+    step = make_fg_gan_train_step(cfg, donate=False)
+    bad = _fg_batch(cfg)
+    bad["images_d"] = bad["images_d"] * jnp.nan
+    _, metrics = step(state, bad, _fg_batch(cfg, 1), jax.random.PRNGKey(1))
+    assert bool(metrics["nan"])
+
+
+# ---------------------------------------------------------------- bg gan
+
+BG_SMALL = BGGanConfig(batch_size=1, image_size=64, vocab_size=8, max_len=4,
+                       ngf=4, ndf=4, multi_residual=False, max_steps=100)
+
+
+def _bg_batch(cfg, seed=0):
+    rng = np.random.RandomState(seed)
+    s = cfg.image_size
+    b = cfg.batch_size
+    return {
+        "inputs": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), jnp.float32),
+        "targets": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), jnp.float32),
+        "tokens": jnp.asarray(rng.randint(0, cfg.vocab_size, (b, cfg.max_len)),
+                              jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 3, (b, s, s)), jnp.int32),
+    }
+
+
+def test_bg_gan_train_step_runs_and_emas():
+    cfg = BG_SMALL
+    state = create_bg_gan_state(jax.random.PRNGKey(0), cfg)
+    step = make_bg_gan_train_step(cfg, donate=False)
+    batch = _bg_batch(cfg)
+    state1, m1 = step(state, batch)
+    # first step: EMA == raw losses
+    np.testing.assert_allclose(float(m1["ema/gen_loss"]), float(m1["gen_loss"]),
+                               rtol=1e-6)
+    state2, m2 = step(state1, batch)
+    expect = 0.99 * float(m1["gen_loss"]) + 0.01 * float(m2["gen_loss"])
+    np.testing.assert_allclose(float(m2["ema/gen_loss"]), expect, rtol=1e-4)
+    assert int(state2.step) == 2
+
+
+# ---------------------------------------------------------------- parallel
+
+def test_mesh_and_sharding_helpers():
+    mesh = parallel.create_mesh(data=4, model=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+    batch = {"x": np.ones((8, 3), np.float32)}
+    sharded = parallel.shard_batch(batch, mesh)
+    assert sharded["x"].shape == (8, 3)
+    assert parallel.local_batch_size(8, mesh) == 2
+    rep = parallel.replicate({"w": np.ones((4,), np.float32)}, mesh)
+    assert rep["w"].sharding.is_fully_replicated
+
+
+def test_prefetch_and_background_generator():
+    from sketchyscenecolorization_tpu.parallel import BackgroundGenerator
+    gen = BackgroundGenerator(lambda i: {"x": np.full((2,), i, np.float32)},
+                              num_steps=5, num_workers=2)
+    seen = sorted(float(b["x"][0]) for b in
+                  parallel.prefetch_to_device(gen, depth=2))
+    assert seen == [0.0, 1.0, 2.0, 3.0, 4.0]
