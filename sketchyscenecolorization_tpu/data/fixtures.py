@@ -24,12 +24,13 @@ from PIL import Image
 IMAGE_SIZE = 768
 
 
-def load_sketch_image(image_path: str, dtype=np.float32) -> np.ndarray:
-    """PNG -> [768, 768, 3] array, NEAREST resize if needed
+def load_sketch_image(image_path: str, dtype=np.float32,
+                      size: int = IMAGE_SIZE) -> np.ndarray:
+    """PNG -> [size, size, 3] array, NEAREST resize if needed
     (reference sketch_data_processing.py:24-29)."""
     image = Image.open(image_path).convert("RGB")
-    if image.width != IMAGE_SIZE or image.height != IMAGE_SIZE:
-        image = image.resize((IMAGE_SIZE, IMAGE_SIZE), resample=Image.NEAREST)
+    if image.width != size or image.height != size:
+        image = image.resize((size, size), resample=Image.NEAREST)
     return np.array(image, dtype=dtype)
 
 
@@ -44,19 +45,21 @@ def load_color_map(mat_path: str) -> List[str]:
     return [color_map[i][0][0] for i in range(46)]
 
 
-def load_seg_data(npz_path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (pred_masks [N,768,768] uint8, pred_class_ids [N], pred_boxes [N,4])."""
+def load_seg_data(npz_path: str, size: int = IMAGE_SIZE
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (pred_masks [N,size,size] uint8, pred_class_ids [N], pred_boxes [N,4])."""
     npz = np.load(npz_path, allow_pickle=True)
     pred_class_ids = np.array(npz["pred_class_ids"], dtype=np.int32)
     pred_boxes = np.array(npz["pred_boxes"], dtype=np.int32)
-    pred_masks = expand_small_segmentation_mask(npz["pred_masks"], pred_boxes)
+    pred_masks = expand_small_segmentation_mask(npz["pred_masks"], pred_boxes, size)
     return pred_masks, pred_class_ids, pred_boxes
 
 
-def expand_small_segmentation_mask(pred_masks_small_list, pred_boxes: np.ndarray) -> np.ndarray:
-    """Expand per-box small masks to full 768x768 canvases
+def expand_small_segmentation_mask(pred_masks_small_list, pred_boxes: np.ndarray,
+                                   size: int = IMAGE_SIZE) -> np.ndarray:
+    """Expand per-box small masks to full size x size canvases
     (reference sketch_data_processing.py:202-214)."""
-    pred_masks = np.zeros((len(pred_masks_small_list), IMAGE_SIZE, IMAGE_SIZE), dtype=np.uint8)
+    pred_masks = np.zeros((len(pred_masks_small_list), size, size), dtype=np.uint8)
     for i, small in enumerate(pred_masks_small_list):
         y1, x1, y2, x2 = pred_boxes[i]
         pred_masks[i, y1:y2 + 1, x1:x2 + 1] = small
@@ -84,7 +87,8 @@ def get_pred_instance_mask(segm_data_path: str, pred_overall_mask: np.ndarray,
 
     Returns (masks [H,W,K], scores [K], boxes [K,4], class_ids [K], matched_indices).
     """
-    pred_masks, pred_class_ids, pred_boxes = load_seg_data(segm_data_path)
+    pred_masks, pred_class_ids, pred_boxes = load_seg_data(
+        segm_data_path, size=pred_overall_mask.shape[0])
 
     overall = pred_overall_mask.astype(bool)
     inst = pred_masks.astype(bool)                       # [N, H, W]

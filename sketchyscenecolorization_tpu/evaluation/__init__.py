@@ -1,0 +1,5 @@
+from .metrics import (
+    compute_bbox_iou, compute_mask_IU, compute_overlaps_masks, compute_ap,
+    MAP_IOU_THRESHOLDS,
+)
+from .harness import MatchingEvaluator, SegEvalResult

@@ -1,0 +1,128 @@
+"""Jitted model engines for the interactive pipeline.
+
+The reference builds a *fresh TF graph + session per stage per command*
+(``Pipeline_utils/fg_matching_utils.py:29-38``, ``fg_color_utils.py:267-280``,
+``bg_utils.py:268-277``) -- graph construction and checkpoint restore dominate
+its latency.  The TPU-native design constructs each jitted function once and
+reuses the compiled executable across instructions; parameters live on device
+for the lifetime of the session.
+
+Each engine is deterministic given its PRNG seed (the reference's FG GAN
+draws ``tf.random_normal`` inline per run, ``models_collection.py:310``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BGGanConfig, FGGanConfig, MatchingConfig
+from ..models import rmi
+from ..models.fg_gan import MRUGenerator
+from ..models.bg_gan import ResidualGenerator
+from ..text import load_vocab, matching_encode, colorization_encode
+
+# BGR pixel means, matching-model preprocessing (``fg_matching_utils.py:11``)
+PIXEL_MU = np.array((104.00698793, 116.66876762, 122.67891434))
+
+
+class MatchingEngine:
+    """RMI referring-segmentation at 768x768 (``fg_matching_utils.py:14-77``)."""
+
+    def __init__(self, cfg: MatchingConfig, params: Dict[str, Any],
+                 vocab: Dict[str, int], score_thresh: float = 1e-9):
+        self.cfg = cfg
+        self.params = params
+        self.vocab = vocab
+        self.score_thresh = score_thresh
+
+        @jax.jit
+        def forward(params, image, words, seq_len):
+            return rmi.apply(params, cfg, image, words, seq_len).up
+        self._forward = forward
+
+    def predict_mask(self, sketch_image_uint8: np.ndarray,
+                     input_text: str) -> np.ndarray:
+        """uint8 [768,768,3] sketch + instruction -> binary {0,1} mask
+        restricted to drawing pixels."""
+        image = sketch_image_uint8.astype(np.float32) - PIXEL_MU
+        bin_drawing = sketch_image_uint8[:, :, 0].copy()
+        bin_drawing[bin_drawing == 0] = 1
+        bin_drawing[bin_drawing == 255] = 0
+
+        indices, seq_len = matching_encode(input_text, self.vocab,
+                                           self.cfg.max_len)
+        up = self._forward(self.params,
+                           jnp.asarray(image[None]),
+                           jnp.asarray(np.asarray(indices, np.int32)[None]),
+                           jnp.asarray(np.asarray([seq_len], np.int32)))
+        up = np.squeeze(np.asarray(up))
+        predicts = (up >= self.score_thresh).astype(np.float32)
+        return predicts * bin_drawing
+
+
+class FGColorizeEngine:
+    """FG MRU-GAN generator at 192x192 (``fg_color_utils.py:253-265``)."""
+
+    def __init__(self, cfg: FGGanConfig, g_params: Dict[str, Any],
+                 vocab: Dict[str, int], seed: int = 0):
+        self.cfg = cfg
+        self.g_params = g_params
+        self.vocab = vocab
+        self._rng = jax.random.PRNGKey(seed)
+        gen = MRUGenerator(num_classes=cfg.num_classes, vocab_size=cfg.vocab_size,
+                           size=cfg.base_channels, num_blocks=cfg.num_blocks,
+                           lstm_hybrid=cfg.lstm_hybrid)
+
+        @jax.jit
+        def forward(g_params, sketch, tokens, labels, noise):
+            return gen.apply({"params": g_params}, sketch, tokens, labels, noise)
+        self._forward = forward
+
+    def colorize(self, instance_sketch: np.ndarray, class_id25: int,
+                 text: str) -> np.ndarray:
+        """[-1,1] float32 [192,192,3] sketch -> [-1,1] [1,192,192,3]."""
+        tokens = colorization_encode(text, self.vocab, self.cfg.max_len)
+        self._rng, k = jax.random.split(self._rng)
+        noise = jax.random.normal(k, (1, self.cfg.noise_dim), jnp.float32)
+        out = self._forward(self.g_params,
+                            jnp.asarray(instance_sketch[None]),
+                            jnp.asarray(np.asarray(tokens, np.int32)[None]),
+                            jnp.asarray(np.asarray([class_id25], np.int32)),
+                            noise)
+        return np.asarray(out)
+
+
+class BGColorizeEngine:
+    """BG residual generator at 768x768 (``bg_utils.py:232-288``)."""
+
+    def __init__(self, cfg: BGGanConfig, g_params: Dict[str, Any],
+                 vocab: Dict[str, int]):
+        self.cfg = cfg
+        self.g_params = g_params
+        self.vocab = vocab
+        gen = ResidualGenerator(ngf=cfg.ngf, vocab_size=cfg.vocab_size,
+                                seg_classes=cfg.seg_classes,
+                                multi_residual=cfg.multi_residual)
+
+        @jax.jit
+        def forward(g_params, image_uint8, tokens):
+            # preprocess_examples: uint8 -> [-1, 1] (bg main :101-114)
+            x = image_uint8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+            out, region = gen.apply({"params": g_params}, x, tokens)
+            # deprocess + uint8 saturate (bg main :29-38)
+            out = jnp.clip((out + 1.0) / 2.0 * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+            return out, jnp.argmax(region, axis=-1)
+        self._forward = forward
+
+    def colorize(self, fg_image_uint8: np.ndarray,
+                 text: str) -> Tuple[np.ndarray, np.ndarray]:
+        """uint8 [768,768,3] FG composite -> (uint8 background, region labels)."""
+        tokens = colorization_encode(text, self.vocab, self.cfg.max_len)
+        out, region = self._forward(self.g_params,
+                                    jnp.asarray(fg_image_uint8[None]),
+                                    jnp.asarray(np.asarray(tokens, np.int32)[None]))
+        return np.array(out)[0], np.array(region)[0]

@@ -1,0 +1,88 @@
+"""Session factory: wire engines from checkpoints (or fresh params).
+
+Vocab files are loaded from the configured paths when present; otherwise the
+built-in default vocabularies are generated from the reference lexicons so a
+session can run self-contained (fresh-parameter mode is used by tests and
+benchmarks; trained checkpoints come from ``utils.checkpoint``).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+
+from ..config import FrameworkConfig
+from ..models import rmi
+from ..models.fg_gan import MRUGenerator
+from ..models.bg_gan import ResidualGenerator
+from ..text import load_vocab
+from ..utils.checkpoint import latest_checkpoint, restore_checkpoint
+from .engines import BGColorizeEngine, FGColorizeEngine, MatchingEngine
+from .session import ColorizationSession
+
+import jax.numpy as jnp
+
+
+def _load_vocab_or_none(path: str) -> Optional[Dict[str, int]]:
+    if path and os.path.isfile(path):
+        return load_vocab(path)
+    return None
+
+
+def _placeholder_vocab(size: int) -> Dict[str, int]:
+    """Index-stable stand-in used when no vocab file is configured (tests /
+    fresh runs): '<pad>', '<unk>', then opaque tokens."""
+    words = ["<pad>", "<unk>"] + [f"w{i}" for i in range(size - 2)]
+    return {w: i for i, w in enumerate(words)}
+
+
+def _maybe_restore(ckpt_dir: str, template):
+    found = latest_checkpoint(ckpt_dir) if ckpt_dir else None
+    if found is None:
+        return template
+    _, path = found
+    return restore_checkpoint(path, template)
+
+
+def build_session(cfg: FrameworkConfig, seed: int = 0) -> ColorizationSession:
+    k = jax.random.PRNGKey(seed)
+    k_m, k_f, k_b = jax.random.split(k, 3)
+
+    m_vocab = (_load_vocab_or_none(cfg.pipeline.match_vocab_path)
+               or _placeholder_vocab(cfg.matching.vocab_size))
+    f_vocab = (_load_vocab_or_none(cfg.pipeline.fg_vocab_path)
+               or _placeholder_vocab(cfg.fg_gan.vocab_size))
+    b_vocab = (_load_vocab_or_none(cfg.pipeline.bg_vocab_path)
+               or _placeholder_vocab(cfg.bg_gan.vocab_size))
+
+    m_params = _maybe_restore(cfg.pipeline.match_ckpt_dir,
+                              rmi.init_params(k_m, cfg.matching))
+
+    fcfg = cfg.fg_gan
+    gen = MRUGenerator(num_classes=fcfg.num_classes, vocab_size=fcfg.vocab_size,
+                       size=fcfg.base_channels, num_blocks=fcfg.num_blocks,
+                       lstm_hybrid=fcfg.lstm_hybrid)
+    s = fcfg.image_size
+    f_params = gen.init(k_f, jnp.zeros((1, s, s, 3), jnp.float32),
+                        jnp.zeros((1, fcfg.max_len), jnp.int32),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, fcfg.noise_dim), jnp.float32))["params"]
+    f_params = _maybe_restore(cfg.pipeline.fg_ckpt_dir, f_params)
+
+    bcfg = cfg.bg_gan
+    bgen = ResidualGenerator(ngf=bcfg.ngf, vocab_size=bcfg.vocab_size,
+                             seg_classes=bcfg.seg_classes,
+                             multi_residual=bcfg.multi_residual)
+    sb = bcfg.image_size
+    b_params = bgen.init(k_b, jnp.zeros((1, sb, sb, 3), jnp.float32),
+                         jnp.zeros((1, bcfg.max_len), jnp.int32))["params"]
+    b_params = _maybe_restore(cfg.pipeline.bg_ckpt_dir, b_params)
+
+    return ColorizationSession(
+        cfg,
+        MatchingEngine(cfg.matching, m_params, m_vocab,
+                       cfg.pipeline.score_thresh),
+        FGColorizeEngine(cfg.fg_gan, f_params, f_vocab, seed=seed),
+        BGColorizeEngine(cfg.bg_gan, b_params, b_vocab),
+    )
