@@ -294,7 +294,14 @@ class MRUDiscriminator(nn.Module):
     proj_d: bool = False
 
     @nn.compact
-    def __call__(self, target, labels=None):
+    def __call__(self, inputs, target=None, labels=None):
+        # unified (inputs, targets, labels) signature across the three
+        # discriminator variants; the MRU one ignores the sketch inputs
+        # (``models_collection.py:676-700`` builds its pyramid from
+        # discrim_targets only).  Called with a single image, treat it as
+        # the target.
+        if target is None:
+            target = inputs
         size = self.size
         x_list = _pyramid_mean_pool(target, 5)
 

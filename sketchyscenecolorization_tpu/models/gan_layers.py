@@ -18,6 +18,7 @@ from ..ops.conv import conv2d as _conv2d, pad1_conv4, conv2d_transpose
 from ..ops.norm import spectral_normalize, l2_normalize
 from ..ops.activations import lrelu, miu_relu, atanh_transform
 from ..ops.lstm import lstm_cell
+from ..ops.pallas_mlstm import masked_pixel_lstm
 
 normal_init = nn.initializers.normal(stddev=0.02)
 
@@ -210,7 +211,8 @@ class TextFusionLSTM(nn.Module):
         h_w_seq = jnp.swapaxes(h_w_seq, 0, 1)       # [B, T, C]
         lang = l2_normalize(h_w_seq, axis=-1)
 
-        # --- conv LSTM, factored input projection ---
+        # --- conv LSTM, factored input projection; fused Pallas recurrence
+        # (ops/pallas_mlstm.py) with the front-pad token-validity mask ---
         visual_norm = l2_normalize(visual, axis=-1).reshape(b, p, c)
         w_v = w_alstm[:c]
         w_w = w_alstm[c:2 * c]
@@ -219,20 +221,7 @@ class TextFusionLSTM(nn.Module):
         pixel_term = visual_norm @ w_v                                  # [B, P, 4C]
         step_term = emb @ w_w + lang @ w_l + b_alstm                    # [B, T, 4C]
 
-        def astep(carry, inp):
-            cs, hs = carry
-            s_t, v_t = inp
-            gates = pixel_term + s_t[:, None, :] + hs @ w_h
-            nc, nh = lstm_cell(gates, cs)
-            keep = v_t[:, None, None]
-            cs = jnp.where(keep, nc, cs)
-            hs = jnp.where(keep, nh, hs)
-            return (cs, hs), None
-
-        ca0 = jnp.zeros((b, p, c), jnp.float32)
-        (_, h_a), _ = jax.lax.scan(
-            astep, (ca0, ca0),
-            (jnp.swapaxes(step_term, 0, 1), jnp.swapaxes(valid, 0, 1)))
+        h_a = masked_pixel_lstm(pixel_term, step_term, w_h, valid)
 
         out = atanh_transform(h_a.reshape(b, h, w, c))
         return out

@@ -61,7 +61,6 @@ class BackgroundGenerator:
     def __init__(self, make_batch: Callable[[int], Any], num_steps: int,
                  num_workers: int = 4, max_queue: int = 8):
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
-        self._steps = list(range(num_steps))
         self._lock = threading.Lock()
         self._next = 0
         self._num_steps = num_steps
@@ -78,8 +77,14 @@ class BackgroundGenerator:
                     return
                 step = self._next
                 self._next += 1
-            self._q.put(self._make(step))
+            try:
+                self._q.put(self._make(step))
+            except BaseException as e:  # surface worker failures to the consumer
+                self._q.put(e)
 
     def __iter__(self):
         for _ in range(self._num_steps):
-            yield self._q.get()
+            item = self._q.get()
+            if isinstance(item, BaseException):
+                raise item
+            yield item

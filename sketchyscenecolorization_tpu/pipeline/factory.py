@@ -56,18 +56,22 @@ def build_session(cfg: FrameworkConfig, seed: int = 0) -> ColorizationSession:
     b_vocab = (_load_vocab_or_none(cfg.pipeline.bg_vocab_path)
                or _placeholder_vocab(cfg.bg_gan.vocab_size))
 
-    m_params = _maybe_restore(cfg.pipeline.match_ckpt_dir,
-                              rmi.init_params(k_m, cfg.matching))
+    # Initializers run under jit: flax/manual init is otherwise dispatched
+    # op-by-op to the device (hundreds of round-trips for ResNet-101).
+    m_params = _maybe_restore(
+        cfg.pipeline.match_ckpt_dir,
+        jax.jit(lambda key: rmi.init_params(key, cfg.matching))(k_m))
 
     fcfg = cfg.fg_gan
     gen = MRUGenerator(num_classes=fcfg.num_classes, vocab_size=fcfg.vocab_size,
                        size=fcfg.base_channels, num_blocks=fcfg.num_blocks,
                        lstm_hybrid=fcfg.lstm_hybrid)
     s = fcfg.image_size
-    f_params = gen.init(k_f, jnp.zeros((1, s, s, 3), jnp.float32),
-                        jnp.zeros((1, fcfg.max_len), jnp.int32),
-                        jnp.zeros((1,), jnp.int32),
-                        jnp.zeros((1, fcfg.noise_dim), jnp.float32))["params"]
+    f_params = jax.jit(gen.init)(
+        k_f, jnp.zeros((1, s, s, 3), jnp.float32),
+        jnp.zeros((1, fcfg.max_len), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, fcfg.noise_dim), jnp.float32))["params"]
     f_params = _maybe_restore(cfg.pipeline.fg_ckpt_dir, f_params)
 
     bcfg = cfg.bg_gan
@@ -75,8 +79,9 @@ def build_session(cfg: FrameworkConfig, seed: int = 0) -> ColorizationSession:
                              seg_classes=bcfg.seg_classes,
                              multi_residual=bcfg.multi_residual)
     sb = bcfg.image_size
-    b_params = bgen.init(k_b, jnp.zeros((1, sb, sb, 3), jnp.float32),
-                         jnp.zeros((1, bcfg.max_len), jnp.int32))["params"]
+    b_params = jax.jit(bgen.init)(
+        k_b, jnp.zeros((1, sb, sb, 3), jnp.float32),
+        jnp.zeros((1, bcfg.max_len), jnp.int32))["params"]
     b_params = _maybe_restore(cfg.pipeline.bg_ckpt_dir, b_params)
 
     return ColorizationSession(

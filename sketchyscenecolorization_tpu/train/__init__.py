@@ -15,3 +15,6 @@ from .bg_gan import (
     BGGanTrainState, create_bg_gan_state, make_bg_gan_train_step,
 )
 from .watchdog import NaNWatchdog, run_with_nan_restart
+from .harness import (
+    train_matching, eval_matching, train_fg_gan, train_bg_gan,
+)

@@ -42,17 +42,37 @@ class FGGanTrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def build_models(cfg: FGGanConfig) -> Tuple[MRUGenerator, MRUDiscriminator]:
-    if cfg.block_type != "MRU":
-        raise NotImplementedError(
-            f"block_type={cfg.block_type}; Pix2Pix/Residual variants live in "
-            "models.fg_gan_variants")
-    gen = MRUGenerator(num_classes=cfg.num_classes, vocab_size=cfg.vocab_size,
-                       size=cfg.base_channels, num_blocks=cfg.num_blocks,
-                       lstm_hybrid=cfg.lstm_hybrid)
-    disc = MRUDiscriminator(num_classes=cfg.num_classes, size=cfg.base_channels,
-                            num_blocks=cfg.num_blocks, sn=cfg.spectral_norm,
-                            proj_d=cfg.proj_d)
+def build_models(cfg: FGGanConfig):
+    """G/D pair for ``cfg.block_type`` (``graph_single.py:246-255``)."""
+    from ..models.fg_gan_variants import (
+        Pix2PixFGDiscriminator, Pix2PixFGGenerator,
+        ResidualFGDiscriminator, ResidualFGGenerator,
+    )
+    if cfg.block_type == "MRU":
+        gen = MRUGenerator(num_classes=cfg.num_classes,
+                           vocab_size=cfg.vocab_size,
+                           size=cfg.base_channels, num_blocks=cfg.num_blocks,
+                           lstm_hybrid=cfg.lstm_hybrid)
+        disc = MRUDiscriminator(num_classes=cfg.num_classes,
+                                size=cfg.base_channels,
+                                num_blocks=cfg.num_blocks,
+                                sn=cfg.spectral_norm, proj_d=cfg.proj_d)
+    elif cfg.block_type == "Pix2Pix":
+        gen = Pix2PixFGGenerator(vocab_size=cfg.vocab_size,
+                                 size=cfg.base_channels,
+                                 lstm_hybrid=cfg.lstm_hybrid)
+        disc = Pix2PixFGDiscriminator(num_classes=cfg.num_classes,
+                                      size=cfg.base_channels,
+                                      sn=cfg.spectral_norm)
+    elif cfg.block_type == "Residual":
+        gen = ResidualFGGenerator(vocab_size=cfg.vocab_size,
+                                  size=cfg.base_channels,
+                                  lstm_hybrid=cfg.lstm_hybrid)
+        disc = ResidualFGDiscriminator(num_classes=cfg.num_classes,
+                                       size=cfg.base_channels,
+                                       sn=cfg.spectral_norm)
+    else:
+        raise ValueError(f"unknown block_type {cfg.block_type}")
     return gen, disc
 
 
@@ -95,7 +115,7 @@ def create_fg_gan_state(rng, cfg: FGGanConfig) -> FGGanTrainState:
     dummy_lab = jnp.zeros((b,), jnp.int32)
     g_vars = gen.init(k_g, dummy_img, dummy_tok, dummy_lab,
                       jnp.zeros((b, cfg.noise_dim), jnp.float32))
-    d_vars = disc.init(k_d, dummy_img, dummy_lab)
+    d_vars = disc.init(k_d, dummy_img, dummy_img, dummy_lab)
     opt_g, opt_d = make_optimizers(cfg)
     g_params = g_vars["params"]
     d_params = d_vars["params"]
@@ -123,25 +143,29 @@ def make_fg_gan_train_step(cfg: FGGanConfig, donate: bool = True):
         return gen.apply({"params": g_params}, batch["sketches"],
                          batch["tokens"], batch["class_id"], noise)
 
-    def disc_apply(d_params, d_sn, image, labels, mutable=False):
+    def disc_apply(d_params, d_sn, inputs, targets, labels, mutable=False):
         variables = {"params": d_params, "sn": d_sn}
         if mutable:
-            (out, logits), new_vars = disc.apply(variables, image, labels,
-                                                 mutable=["sn"])
+            (out, logits), new_vars = disc.apply(
+                variables, inputs, targets, labels, mutable=["sn"])
             return out, logits, new_vars["sn"]
-        out, logits = disc.apply(variables, image, labels)
+        out, logits = disc.apply(variables, inputs, targets, labels)
         return out, logits, d_sn
 
     def gan_losses(d_params, d_sn, fakes, batch, rng):
-        real_out, real_logit, _ = disc_apply(d_params, d_sn,
-                                             batch["images_d"], batch["class_id_d"])
-        fake_out, fake_logit, _ = disc_apply(d_params, d_sn, fakes,
-                                             batch["class_id"])
+        # the reference pairs the G-batch sketches with both the D-batch real
+        # images and the fakes (``graph_single.py:269-273``)
+        real_out, real_logit, _ = disc_apply(
+            d_params, d_sn, batch["sketches"], batch["images_d"],
+            batch["class_id_d"])
+        fake_out, fake_logit, _ = disc_apply(
+            d_params, d_sn, batch["sketches"], fakes, batch["class_id"])
         if cfg.spectral_norm:
             loss_g_gan, loss_d_gan = wgan_sn_losses(fake_out, real_out)
         else:
             def disc_fn(x):
-                return disc_apply(d_params, d_sn, x, batch["class_id_d"])[0]
+                return disc_apply(d_params, d_sn, batch["sketches"], x,
+                                  batch["class_id_d"])[0]
             if cfg.wgan:
                 loss_g_gan, loss_d_gan = wgan_gp_losses(
                     disc_fn, fake_out, real_out, fakes, batch["images_d"],
@@ -177,8 +201,9 @@ def make_fg_gan_train_step(cfg: FGGanConfig, donate: bool = True):
     def sn_refresh(d_params, d_sn, batch):
         """One power iteration per step, applied at the G update
         (the reference's control-dependency placement)."""
-        _, _, new_sn = disc_apply(d_params, d_sn, batch["images_d"],
-                                  batch["class_id_d"], mutable=True)
+        _, _, new_sn = disc_apply(d_params, d_sn, batch["sketches"],
+                                  batch["images_d"], batch["class_id_d"],
+                                  mutable=True)
         return new_sn
 
     def step(state: FGGanTrainState, batch_d, batch_g, rng):

@@ -1,0 +1,172 @@
+"""Dataset loaders and training harnesses on synthetic miniature data:
+GT .mat parsing, record shards + preprocessing, the BG sampler, and a short
+matching training run with orbax checkpointing and resume."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+import scipy.io
+from PIL import Image
+
+from sketchyscenecolorization_tpu.config import BGGanConfig, MatchingConfig
+from sketchyscenecolorization_tpu.data import (
+    BGDataset, FGPairedDataset, MatchingTrainDataset, build_train_info,
+    extract_bboxes, load_data_gt, load_region_mask, preprocess_pair,
+    read_record_shard, resize_and_crop, resize_and_pad, write_record_shard,
+)
+from sketchyscenecolorization_tpu.models import rmi
+from sketchyscenecolorization_tpu.train import train_matching
+from sketchyscenecolorization_tpu.utils import latest_checkpoint
+
+SMALL = MatchingConfig(vf_h=6, vf_w=6, H=48, W=48, vocab_size=16,
+                       w_emb_dim=16, v_emb_dim=16, m_rnn_size=8,
+                       w_rnn_size=16, max_len=6, snapshot_interval=2)
+
+
+# ------------------------------------------------------------- GT loading
+
+def _write_gt(base, image_id=5, size=750):
+    os.makedirs(os.path.join(base, "DRAWING_GT"), exist_ok=True)
+    os.makedirs(os.path.join(base, "CLASS_GT"), exist_ok=True)
+    os.makedirs(os.path.join(base, "INSTANCE_GT"), exist_ok=True)
+    r = lambda v: int(v * size / 750)
+    img = np.full((size, size, 3), 255, np.uint8)
+    img[r(100):r(200), r(100):r(300)] = 0
+    Image.fromarray(img).save(
+        os.path.join(base, "DRAWING_GT", f"L0_sample{image_id}.png"))
+    inst = np.zeros((size, size), np.uint8)
+    inst[r(100):r(200), r(100):r(300)] = 3          # sparse instance id
+    inst[r(400):r(500), r(50):r(150)] = 7
+    cls = np.zeros((size, size), np.uint8)
+    cls[r(100):r(200), r(100):r(300)] = 2
+    cls[r(400):r(500), r(50):r(150)] = 9
+    scipy.io.savemat(os.path.join(base, "INSTANCE_GT",
+                                  f"sample_{image_id}_instance.mat"),
+                     {"INSTANCE_GT": inst})
+    scipy.io.savemat(os.path.join(base, "CLASS_GT",
+                                  f"sample_{image_id}_class.mat"),
+                     {"CLASS_GT": cls})
+
+
+def test_load_data_gt_and_bboxes(tmp_path):
+    _write_gt(str(tmp_path))
+    sketch, class_ids, bboxes, masks = load_data_gt(str(tmp_path), 5)
+    assert sketch.shape == (768, 768, 3)
+    assert list(class_ids) == [2, 9]
+    assert masks.shape[2] == 2
+    # instance 0 box scales 750->768 (nearest zoom)
+    y1, x1, y2, x2 = bboxes[0]
+    assert 95 <= y1 <= 110 and 195 <= y2 <= 215
+
+    # fast path: union of selected dense-reindexed instances
+    sketch2, union = load_data_gt(str(tmp_path), 5, fast_version=True,
+                                  inst_indices=[0, 1])
+    assert union.sum() == masks[:, :, 0].sum() + masks[:, :, 1].sum()
+
+
+def test_extract_bboxes_empty_mask():
+    m = np.zeros((10, 10, 1), np.uint8)
+    assert (extract_bboxes(m) == 0).all()
+
+
+def test_resize_ops_shapes():
+    im = np.random.rand(30, 20)
+    assert resize_and_pad(im, 16, 16).shape == (16, 16)
+    assert resize_and_crop(im, 16, 16).shape == (16, 16)
+    im3 = np.random.rand(30, 20, 3)
+    assert resize_and_pad(im3, 16, 16).shape == (16, 16, 3)
+
+
+# ------------------------------------------------------------- records
+
+def test_fg_record_roundtrip_and_preprocess(tmp_path):
+    rng = np.random.RandomState(0)
+    cartoons = rng.randint(0, 255, (4, 384, 384, 3), dtype=np.uint8)
+    sketches = rng.randint(0, 255, (4, 384, 384, 3), dtype=np.uint8)
+    path = str(tmp_path / "cat.npz")
+    write_record_shard(path, [f"i{i}" for i in range(4)], cartoons, sketches,
+                       "bus", np.arange(4), ["red"] * 4,
+                       np.zeros((4, 15), np.uint8))
+    rec = read_record_shard(path)
+    np.testing.assert_array_equal(rec["cartoons"], cartoons)
+
+    img, sk = preprocess_pair(cartoons[0], sketches[0], 64,
+                              rng=np.random.RandomState(1))
+    assert img.shape == (64, 64, 3) and sk.shape == (64, 64, 3)
+    assert img.min() >= -1.0 and img.max() <= 1.01
+    # distance-map variant produces a valid [-1,1] map too
+    img2, sk2 = preprocess_pair(cartoons[0], sketches[0], 64,
+                                distance_map=True)
+    assert sk2.min() >= -1.0 and sk2.max() <= 1.0
+
+    ds = FGPairedDataset([path], batch_size=2, img_size=64)
+    batch = ds.make_batch(0)
+    assert batch["images"].shape == (2, 64, 64, 3)
+    assert batch["tokens"].shape == (2, 15)
+    assert batch["images_d"].shape == (2, 64, 64, 3)
+
+
+def test_bg_dataset(tmp_path):
+    size = 32
+    for d in ("fg", "bg", "seg"):
+        os.makedirs(tmp_path / d, exist_ok=True)
+    img = np.random.randint(0, 255, (size, size, 3), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / "fg" / "a.png")
+    Image.fromarray(img).save(tmp_path / "bg" / "a.png")
+    seg = np.zeros((size, size), np.uint8)
+    seg[:16] = 128
+    seg[16:] = 255
+    Image.fromarray(np.repeat(seg[:, :, None], 3, 2)).save(tmp_path / "seg" / "a.png")
+    split = [{"fg_name": "a.png", "bg_name": "a.png", "color_text": "the sky is blue"}]
+    with open(tmp_path / "split.json", "w") as f:
+        json.dump(split, f)
+    vocab = {"<pad>": 0, "<unk>": 1, "sky": 2, "is": 3, "blue": 4}
+    ds = BGDataset(str(tmp_path / "split.json"), str(tmp_path / "fg"),
+                   str(tmp_path / "bg"), str(tmp_path / "seg"),
+                   vocab, image_size=size, max_len=8)
+    b = ds.make_batch(0)
+    assert b["inputs"].shape == (1, size, size, 3)
+    assert set(np.unique(b["labels"])) == {1, 2}
+    assert b["tokens"].shape == (1, 8)
+    # region mask test mode -> zeros
+    assert load_region_mask("", size, is_test=True).sum() == 0
+
+
+# ------------------------------------------------------------- harness
+
+def _write_matching_corpus(tmp_path):
+    base = str(tmp_path / "train")
+    _write_gt(base, image_id=1, size=48)
+    caps = [{"key": 1, "sen_instIdx_map": {"the bus": [0], "the cat": [1]}}]
+    cap_path = str(tmp_path / "caps.json")
+    with open(cap_path, "w") as f:
+        json.dump(caps, f)
+    return base, cap_path
+
+
+def test_train_matching_harness_with_resume(tmp_path, monkeypatch):
+    # patch the dataset's image size down to the small config
+    import sketchyscenecolorization_tpu.data.matching_dataset as md
+    monkeypatch.setattr(md, "IMAGE_SIZE", 48)
+    base, cap_path = _write_matching_corpus(tmp_path)
+    vocab = {"<pad>": 0, "<unk>": 1, "the": 2, "bus": 3, "cat": 4}
+    ds = MatchingTrainDataset(base, cap_path, vocab, max_len=6, augment=True)
+    assert len(ds) == 2
+    assert len(build_train_info(cap_path)) == 2
+
+    params = rmi.init_params(jax.random.PRNGKey(0), SMALL)
+    run_dir = str(tmp_path / "run")
+    state = train_matching(SMALL, ds, params, run_dir, log_every=2,
+                           max_iters=4)
+    assert int(state.step) == 4
+    found = latest_checkpoint(os.path.join(run_dir, "snapshots"))
+    assert found is not None and found[0] == 4
+    assert os.path.isfile(os.path.join(run_dir, "metrics.jsonl"))
+
+    # resume: a fresh harness starts from step 4 and runs to 6
+    ds2 = MatchingTrainDataset(base, cap_path, vocab, max_len=6)
+    state2 = train_matching(SMALL, ds2, params, run_dir, log_every=2,
+                            max_iters=6)
+    assert int(state2.step) == 6
