@@ -63,6 +63,8 @@ class MatchingConfig:
     fusion_type: str = "RMI"          # 'RMI' | 'RecurAttn'
     use_attn: bool = False
     backbone: str = "deeplab"         # 'deeplab' | 'fcn_8s' | 'segnet' | 'deeplab_v3plus'
+    compute_dtype: str = "float32"    # 'float32' | 'bfloat16' (conv/matmul element type;
+                                      # accumulation stays float32 on the MXU)
     # training (reference RMI_model.py:312-372)
     start_lr: float = 2.5e-4
     end_lr: float = 1e-5

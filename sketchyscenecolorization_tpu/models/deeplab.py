@@ -62,19 +62,24 @@ def _bottleneck_init(key, cin, cout):
     return p
 
 
-def _bottleneck(x, p, stride: int, atrous: int = 1):
+def _bottleneck(x, p, stride: int, atrous: int = 1, compute_dtype=None):
     """Reference ``deeplab_model.py:233-260``; the 1x1 convs never dilate in
     effect (rate on a 1x1 kernel is a no-op) but stride applies to block_1
     and the shortcut."""
+    cd = compute_dtype
     orig = x
-    y = conv2d(x, p["block_1"]["conv"]["DW"], stride=stride, rate=atrous)
+    y = conv2d(x, p["block_1"]["conv"]["DW"], stride=stride, rate=atrous,
+               compute_dtype=cd)
     y = jnp.maximum(_bn(y, p["block_1"]["bn"]), 0.0)
-    y = conv2d(y, p["block_2"]["conv"]["DW"], stride=1, rate=atrous)
+    y = conv2d(y, p["block_2"]["conv"]["DW"], stride=1, rate=atrous,
+               compute_dtype=cd)
     y = jnp.maximum(_bn(y, p["block_2"]["bn"]), 0.0)
-    y = conv2d(y, p["block_3"]["conv"]["DW"], stride=1, rate=atrous)
+    y = conv2d(y, p["block_3"]["conv"]["DW"], stride=1, rate=atrous,
+               compute_dtype=cd)
     y = _bn(y, p["block_3"]["bn"])
     if "block_add" in p:
-        orig = conv2d(orig, p["block_add"]["conv"]["DW"], stride=stride, rate=atrous)
+        orig = conv2d(orig, p["block_add"]["conv"]["DW"], stride=stride,
+                      rate=atrous, compute_dtype=cd)
         orig = _bn(orig, p["block_add"]["bn"])
     return jnp.maximum(y + orig, 0.0)
 
@@ -110,13 +115,20 @@ def init_params(key, num_classes: Optional[int] = None) -> Params:
     return params
 
 
-def apply(params: Params, images: jnp.ndarray, *, intermediate: bool = True):
+def apply(params: Params, images: jnp.ndarray, *, intermediate: bool = True,
+          compute_dtype=None):
     """images: [N, H, W, 3] mean-subtracted float32.
 
     Returns the [N, H/8, W/8, 2048] feature map when ``intermediate`` (the RMI
     path), else ASPP logits summed over rates (``deeplab_model.py:109-121``).
+
+    ``compute_dtype='bfloat16'`` runs the convolutions with bf16 operands
+    (full-rate MXU on TPU) while BN/residual math and accumulation stay
+    float32; None keeps everything float32 for bit-parity testing.
     """
-    x = conv2d(images, params["group_1"]["conv1"]["DW"], stride=2)
+    cd = jnp.bfloat16 if compute_dtype in ("bfloat16", jnp.bfloat16) else None
+    x = conv2d(images, params["group_1"]["conv1"]["DW"], stride=2,
+               compute_dtype=cd)
     x = jnp.maximum(_bn(x, params["group_1"]["bn_conv1"]), 0.0)
     x = max_pool_3x3_s2(x)
 
@@ -127,9 +139,11 @@ def apply(params: Params, images: jnp.ndarray, *, intermediate: bool = True):
         ("group_5", NUM_UNITS[3], 1, 4),
     ]
     for name, units, stride, atrous in specs:
-        x = _bottleneck(x, params[f"{name}_0"], stride=stride, atrous=atrous)
+        x = _bottleneck(x, params[f"{name}_0"], stride=stride, atrous=atrous,
+                        compute_dtype=cd)
         for i in range(1, units):
-            x = _bottleneck(x, params[f"{name}_{i}"], stride=1, atrous=atrous)
+            x = _bottleneck(x, params[f"{name}_{i}"], stride=1, atrous=atrous,
+                            compute_dtype=cd)
 
     x = jnp.maximum(x, 0.0)  # group_last
     if intermediate:
@@ -139,6 +153,6 @@ def apply(params: Params, images: jnp.ndarray, *, intermediate: bool = True):
     logits = None
     for i, rate in enumerate(ASPP_RATES):
         p = head[f"conv{i}"]
-        y = conv2d(x, p["DW"], stride=1, rate=rate) + p["biases"]
+        y = conv2d(x, p["DW"], stride=1, rate=rate, compute_dtype=cd) + p["biases"]
         logits = y if logits is None else logits + y
     return logits

@@ -44,6 +44,27 @@ from . import deeplab
 Params = Dict[str, Any]
 
 
+def _backbone(cfg: "MatchingConfig"):
+    """(scope key, init_fn, apply_fn, feature dim) for cfg.backbone
+    (reference ``RMI_model.py:64-107`` weight-name dispatch)."""
+    if cfg.backbone == "deeplab":
+        return ("ResNet", deeplab.init_params,
+                lambda p, x, cd: deeplab.apply(p, x, intermediate=True,
+                                               compute_dtype=cd), 2048)
+    from . import backbones
+    mod = {"fcn_8s": backbones.fcn8s, "segnet": backbones.segnet,
+           "deeplab_v3plus": backbones.deeplab_v3plus}[cfg.backbone]
+    dim = {"fcn_8s": 256, "segnet": 512, "deeplab_v3plus": 256}[cfg.backbone]
+
+    def init(key):
+        return mod.init_params(key)[mod.SCOPE]
+
+    def apply_fn(p, x, cd):
+        return mod.apply({mod.SCOPE: p}, x, intermediate=True,
+                         compute_dtype=cd)
+    return (mod.SCOPE, init, apply_fn, dim)
+
+
 def _glorot(key, shape):
     fan_in, fan_out = shape[0], shape[1]
     limit = np.sqrt(6.0 / (fan_in + fan_out))
@@ -65,9 +86,10 @@ def init_params(key, cfg: MatchingConfig) -> Params:
         fusion_in = cfg.w_rnn_size
     else:
         fusion_in = cfg.v_emb_dim + cfg.w_emb_dim + cfg.w_rnn_size + 8
+    vf_dim = _backbone(cfg)[3]
     text: Params = {
         "visual_feat_projection": {
-            "DW": _xavier_conv(k_proj, (1, 1, cfg.vf_dim, cfg.v_emb_dim)),
+            "DW": _xavier_conv(k_proj, (1, 1, vf_dim, cfg.v_emb_dim)),
             "biases": jnp.zeros((cfg.v_emb_dim,), jnp.float32),
         },
         "embedding": jax.random.uniform(k_emb, (cfg.vocab_size, cfg.w_emb_dim),
@@ -95,8 +117,9 @@ def init_params(key, cfg: MatchingConfig) -> Params:
             "DW": _glorot(k_attn, (cfg.m_rnn_size, cfg.w_rnn_size)),
             "biases": jnp.zeros((cfg.w_rnn_size,), jnp.float32),
         }
+    scope, bb_init, _, _ = _backbone(cfg)
     return {
-        "ResNet": deeplab.init_params(k_bb),
+        scope: bb_init(k_bb),
         "text_sketchyscene": text,
     }
 
@@ -212,7 +235,8 @@ def apply(params: Params, cfg: MatchingConfig,
           words: jnp.ndarray,         # [N, T] int32 (end-padded)
           seq_len: jnp.ndarray,       # [N] int32
           ) -> RMIOutputs:
-    feat = deeplab.apply(params["ResNet"], images, intermediate=True)
+    scope, _, bb_apply, _ = _backbone(cfg)
+    feat = bb_apply(params[scope], images, cfg.compute_dtype)
     text = params["text_sketchyscene"]
 
     visual = conv2d(feat, text["visual_feat_projection"]["DW"]) \

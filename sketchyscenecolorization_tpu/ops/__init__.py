@@ -6,7 +6,7 @@ from .norm import (
 from .lstm import lstm_cell, lstm_scan, masked_lstm_scan
 from .image import (
     mean_pool_2x2, nn_upsample_2x, box_downsample, tf1_resize_bilinear,
-    resize_bilinear_half_pixel,
+    resize_bilinear_half_pixel, resize_bilinear_align_corners,
 )
 from .spatial import generate_spatial_batch
 from .activations import lrelu, prelu, miu_relu, atanh_transform

@@ -72,3 +72,30 @@ def resize_bilinear_half_pixel(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.nd
     import jax
     n, h, w, c = x.shape
     return jax.image.resize(x, (n, out_h, out_w, c), method="bilinear")
+
+@lru_cache(maxsize=64)
+def _align_corners_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense interpolation matrix for TF resize_bilinear(align_corners=True):
+    src = dst * (in-1)/(out-1)."""
+    if out_size == 1 or in_size == 1:
+        m = np.zeros((out_size, in_size), dtype=np.float32)
+        m[:, 0] = 1.0
+        return m
+    scale = (in_size - 1) / (out_size - 1)
+    src = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = src - lo
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    m[np.arange(out_size), lo] += (1.0 - frac).astype(np.float32)
+    m[np.arange(out_size), hi] += frac.astype(np.float32)
+    return m
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """TF resize_bilinear with align_corners=True (DeepLab-v3+ decoder,
+    reference ``deeplab_v3plus_model.py:533,820``), as interpolation matmuls."""
+    mh = jnp.asarray(_align_corners_matrix(x.shape[1], out_h))
+    mw = jnp.asarray(_align_corners_matrix(x.shape[2], out_w))
+    y = jnp.einsum("oh,nhwc->nowc", mh, x)
+    return jnp.einsum("ow,nhwc->nhoc", mw, y)

@@ -39,7 +39,7 @@ class MatchingTrainState(NamedTuple):
 def _split_trainable(params: Params, cfg: MatchingConfig) -> Tuple[Params, Params]:
     if cfg.train_fusion_var_only:
         trainable = {"text_sketchyscene": params["text_sketchyscene"]}
-        frozen = {"ResNet": params["ResNet"]}
+        frozen = {k: v for k, v in params.items() if k != "text_sketchyscene"}
     else:
         trainable, frozen = params, {}
     return trainable, frozen
