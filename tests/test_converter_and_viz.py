@@ -1,0 +1,76 @@
+"""TF1-converter mapping round-trip and visualization smoke tests."""
+import jax
+import numpy as np
+
+from sketchyscenecolorization_tpu.config import MatchingConfig
+from sketchyscenecolorization_tpu.models import rmi
+from sketchyscenecolorization_tpu.utils.tf1_converter import (
+    convert_matching, matching_name_map, merge_converted, swap_deconv_filter,
+)
+from sketchyscenecolorization_tpu.utils.visualization import (
+    generate_colors, visualize_sem_inst_mask, visualize_sem_seg,
+)
+
+SMALL = MatchingConfig(vf_h=6, vf_w=6, H=48, W=48, vocab_size=12,
+                       w_emb_dim=16, v_emb_dim=16, m_rnn_size=8,
+                       w_rnn_size=16, max_len=5)
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v)
+    return out
+
+
+def test_matching_map_covers_tree_and_roundtrips():
+    params = rmi.init_params(jax.random.PRNGKey(0), SMALL)
+    flat = _flatten(params)
+    name_map = matching_name_map(SMALL)
+    mapped_paths = set(name_map.values())
+    # every leaf of the real tree is covered by the mapping, and vice versa
+    assert mapped_paths == set(flat.keys())
+
+    # fabricate a "TF checkpoint" by reversing the map, convert, compare
+    tf_vars = {tf_name: flat[path] for tf_name, path in name_map.items()}
+    converted = convert_matching(tf_vars, SMALL, strict=True)
+    for path, leaf in _flatten(converted).items():
+        np.testing.assert_array_equal(leaf, flat[path])
+
+
+def test_partial_convert_and_merge():
+    params = rmi.init_params(jax.random.PRNGKey(0), SMALL)
+    flat = _flatten(params)
+    name_map = matching_name_map(SMALL)
+    # backbone-only checkpoint (the reference's pretrained-restore case)
+    tf_vars = {tf_name: flat[path] for tf_name, path in name_map.items()
+               if path[0] == "ResNet"}
+    converted = convert_matching(tf_vars, SMALL, strict=False)
+    assert "text_sketchyscene" not in converted
+    merged = merge_converted(params, converted)
+    assert set(merged.keys()) == {"ResNet", "text_sketchyscene"}
+
+
+def test_swap_deconv_filter():
+    w = np.zeros((4, 4, 7, 3))
+    assert swap_deconv_filter(w).shape == (4, 4, 3, 7)
+
+
+def test_visualization_outputs(tmp_path):
+    img = np.full((32, 32, 3), 255, np.uint8)
+    mask = np.zeros((32, 32), np.int32)
+    mask[4:10, 4:10] = 1
+    out = visualize_sem_seg(img, mask, "the bus", str(tmp_path / "o.png"))
+    assert out.shape == (32, 32, 3)
+    assert (tmp_path / "o.png").exists()
+
+    boxes = np.array([[4, 4, 10, 10]])
+    inst = mask[:, :, None]
+    comp = visualize_sem_inst_mask(img, mask, boxes, inst,
+                                   np.array([1]), ["bg", "bus"], "the bus",
+                                   save_path=str(tmp_path / "c.png"))
+    assert comp.shape == (32, 64, 3)
+    assert len(generate_colors(5)) == 5
