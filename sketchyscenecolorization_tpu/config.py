@@ -111,6 +111,9 @@ class FGGanConfig:
     ld: float = 10.0                  # gradient-penalty coefficient
     coeff_ac: float = 1.0
     coeff_l1: float = 100.0
+    coeff_perceptual: float = 0.0     # inception-v4 perceptual loss (the
+                                      # reference scaffolds it disabled,
+                                      # graph_single.py:557-559)
     disc_steps: int = 1
     snapshot_interval: int = 10000
 

@@ -126,13 +126,17 @@ def create_fg_gan_state(rng, cfg: FGGanConfig) -> FGGanTrainState:
         step=jnp.zeros((), jnp.int32))
 
 
-def make_fg_gan_train_step(cfg: FGGanConfig, donate: bool = True):
+def make_fg_gan_train_step(cfg: FGGanConfig, donate: bool = True,
+                           perceptual_params=None):
     """Returns jitted ``step(state, batch_d, batch_g, rng) -> (state, metrics)``.
 
     Each batch dict: images [B,S,S,3] in [-1,1], sketches [B,S,S,3],
     images_d [B,S,S,3], class_id [B], class_id_d [B], tokens [B,T]
     (front-padded).  ``metrics['nan']`` is the NaN-watchdog flag
     (``main_procedure.py:213-232``).
+
+    ``perceptual_params`` (an ``models.inception_v4`` tree) enables the
+    inception perceptual term when ``cfg.coeff_perceptual > 0``.
     """
     gen, disc = build_models(cfg)
     opt_g, opt_d = make_optimizers(cfg)
@@ -196,6 +200,10 @@ def make_fg_gan_train_step(cfg: FGGanConfig, donate: bool = True):
         recon = smooth_l1(fakes, batch["images"])
         loss_g = (loss_g_gan + cfg.coeff_l1 * recon
                   + fc_weight_decay_loss(g_params))
+        if perceptual_params is not None and cfg.coeff_perceptual > 0:
+            from ..models.inception_v4 import perceptual_loss
+            loss_g = loss_g + cfg.coeff_perceptual * perceptual_loss(
+                perceptual_params, batch["images"], fakes)
         return loss_g, recon
 
     def sn_refresh(d_params, d_sn, batch):
