@@ -65,6 +65,9 @@ class MatchingConfig:
     backbone: str = "deeplab"         # 'deeplab' | 'fcn_8s' | 'segnet' | 'deeplab_v3plus'
     compute_dtype: str = "float32"    # 'float32' | 'bfloat16' (conv/matmul element type;
                                       # accumulation stays float32 on the MXU)
+    shard_mlstm_pixels: bool = False  # shard the mLSTM's 96*96 pixel-batch dim
+                                      # over the mesh 'model' axis (tensor
+                                      # parallelism for the hottest recurrence)
     # training (reference RMI_model.py:312-372)
     start_lr: float = 2.5e-4
     end_lr: float = 1e-5

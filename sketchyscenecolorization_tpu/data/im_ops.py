@@ -62,3 +62,35 @@ def bboxes_from_masks(masks: np.ndarray) -> np.ndarray:
         idx = np.nonzero(m)
         bboxes[n] = [idx[1].min(), idx[0].min(), idx[1].max(), idx[0].max()]
     return bboxes
+
+
+def crop_bboxes_subtract_mean(im: np.ndarray, bboxes, crop_size: int,
+                              image_mean: np.ndarray) -> np.ndarray:
+    """Crop each [xmin, ymin, xmax, ymax] box (inclusive), resize to
+    crop_size^2, subtract the pixel mean (reference
+    ``im_processing.crop_bboxes_subtract_mean``)."""
+    bboxes = np.asarray(bboxes).reshape((-1, 4))
+    out = np.zeros((bboxes.shape[0], crop_size, crop_size, 3), np.float32)
+    for n, (xmin, ymin, xmax, ymax) in enumerate(bboxes):
+        crop = im[ymin:ymax + 1, xmin:xmax + 1, :].astype(np.float32)
+        out[n] = _resize_float(crop, crop_size, crop_size)
+    return out - image_mean
+
+
+def crop_masks_subtract_mean(im: np.ndarray, masks: np.ndarray,
+                             crop_size: int, image_mean: np.ndarray
+                             ) -> np.ndarray:
+    """Mask out each instance (mean-filled background), crop its bbox,
+    resize, subtract the mean (reference
+    ``im_processing.crop_masks_subtract_mean``)."""
+    if masks.ndim == 2:
+        masks = masks[np.newaxis, ...]
+    bboxes = bboxes_from_masks(masks)
+    out = np.zeros((masks.shape[0], crop_size, crop_size, 3), np.float32)
+    for n, mask in enumerate(masks):
+        xmin, ymin, xmax, ymax = bboxes[n]
+        masked = im.astype(np.float32) * mask[..., None] \
+            + image_mean * (1 - mask[..., None])
+        crop = masked[ymin:ymax + 1, xmin:xmax + 1, :]
+        out[n] = _resize_float(crop, crop_size, crop_size)
+    return out - image_mean

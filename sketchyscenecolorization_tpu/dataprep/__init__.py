@@ -6,4 +6,5 @@ from .caption_engine import (
 from .generators import (
     matching_data_generation, vocabulary_generation,
     fg_data_preparation, bg_data_generation, bg_caption,
+    matching_data_visualization,
 )

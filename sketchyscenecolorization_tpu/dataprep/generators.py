@@ -244,3 +244,35 @@ def bg_data_generation(data_base_dir: str, aug_num: int = 3,
             json.dump(summary, f, indent=4)
         results[split] = summary
     return results
+
+
+def matching_data_visualization(data_base_dir: str, split: str,
+                                caption_json_path: str, out_dir: str,
+                                max_images: Optional[int] = None) -> int:
+    """Render each GT (sentence -> instance set) pair as a red overlay PNG
+    (reference ``matching_data_visualization.py:15-103``).  Returns the
+    number of images written."""
+    from ..data.matching_dataset import load_data_gt
+    from ..utils.visualization import visualize_sem_seg
+
+    with open(caption_json_path) as f:
+        data = json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    written = 0
+    for entry in data:
+        img_idx = entry["key"]
+        sketch, _, _, gt_masks = load_data_gt(
+            os.path.join(data_base_dir, split), img_idx)
+        sketch_u8 = sketch.astype(np.uint8)
+        for s_i, (sentence, inst_indices) in enumerate(
+                entry["sen_instIdx_map"].items()):
+            union = np.zeros(gt_masks.shape[:2], np.int32)
+            for idx in inst_indices:
+                union = np.logical_or(union, gt_masks[:, :, idx])
+            visualize_sem_seg(
+                sketch_u8.copy(), union, sentence,
+                os.path.join(out_dir, f"{img_idx}_{s_i}.png"))
+            written += 1
+        if max_images and written >= max_images:
+            break
+    return written

@@ -151,6 +151,19 @@ def _rmi_fusion(text: Params, cfg: MatchingConfig,
     valid = jnp.arange(t_max)[None, :] < seq_len[:, None]            # [N, T]
 
     use_attn = cfg.use_attn
+    if cfg.shard_mlstm_pixels and not use_attn:
+        # tensor parallelism over the pixel-batch dim: every pixel's sequence
+        # is independent, so sharding P over 'model' needs no collectives
+        # inside the recurrence (weights replicated, XLA all-gathers only at
+        # the reshape back to the feature map).  Uses the scan formulation --
+        # XLA can partition it; a Pallas custom call cannot be auto-sharded.
+        from jax.sharding import PartitionSpec as P
+        from ..ops.pallas_mlstm import mlstm_scan
+        pixel_term = jax.lax.with_sharding_constraint(
+            pixel_term, P("data", "model", None))
+        m_last = mlstm_scan(pixel_term, step_term, w_h, valid)
+        return m_last.reshape(n, h, w, m)
+
     if not use_attn:
         # hot path: fused Pallas recurrence (VMEM-resident carry; see
         # ops/pallas_mlstm.py), scan-equivalent gradients
