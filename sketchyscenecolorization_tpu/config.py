@@ -143,6 +143,8 @@ class BGGanConfig:
     seg_weight: float = 100.0
     ema_decay: float = 0.99
     snapshot_interval: int = 10000
+    remat: bool = False               # rematerialize the 768^2 generator
+                                      # activations (trade FLOPs for HBM)
 
 
 @dataclass(frozen=True)

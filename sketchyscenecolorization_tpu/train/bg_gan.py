@@ -92,7 +92,13 @@ def make_bg_gan_train_step(cfg: BGGanConfig, donate: bool = True):
                                   "(matching the reference default)")
 
     def forward_g(g_params, batch):
-        return gen.apply({"params": g_params}, batch["inputs"], batch["tokens"])
+        def fwd(p, inputs, tokens):
+            return gen.apply({"params": p}, inputs, tokens)
+        if cfg.remat:
+            # 768^2 residual-generator activations dominate HBM at batch>1;
+            # rematerialization recomputes them in the backward pass
+            fwd = jax.checkpoint(fwd)
+        return fwd(g_params, batch["inputs"], batch["tokens"])
 
     def d_loss_fn(d_params, outputs, batch):
         predict_real = disc.apply({"params": d_params}, batch["inputs"],

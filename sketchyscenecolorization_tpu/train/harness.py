@@ -24,11 +24,37 @@ from ..evaluation import MatchingEvaluator
 from ..parallel import BackgroundGenerator, prefetch_to_device
 from ..utils.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from ..utils.logging import JsonlMetricWriter, LossEMA, ThroughputMeter, count_params
+
 from .bg_gan import BGGanTrainState, create_bg_gan_state, make_bg_gan_train_step
 from .fg_gan import FGGanTrainState, create_fg_gan_state, make_fg_gan_train_step
 from .matching import (MatchingTrainState, create_matching_state,
                        make_matching_train_step)
 from .watchdog import NaNWatchdog
+class _ProfileWindow:
+    """Capture a jax.profiler trace over steps [start, stop) of a training
+    loop (TensorBoard-viewable; the TPU analogue of the reference's unused
+    tf.RunMetadata scaffolding, ``main_procedure.py:168-169``)."""
+
+    def __init__(self, log_dir, start: int = 10, stop: int = 13):
+        self.log_dir = log_dir
+        self.start, self.stop = start, stop
+        self._active = False
+
+    def tick(self, step: int):
+        if not self.log_dir:
+            return
+        if step == self.start and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif step >= self.stop and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def close(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
 
 
 def _resume(state, ckpt_dir: str):
@@ -42,7 +68,8 @@ def _resume(state, ckpt_dir: str):
 def train_matching(cfg: MatchingConfig, dataset: MatchingTrainDataset,
                    init_params: Dict[str, Any], run_dir: str,
                    log_every: int = 50, mesh=None,
-                   max_iters: Optional[int] = None) -> MatchingTrainState:
+                   max_iters: Optional[int] = None,
+                   profile_dir: Optional[str] = None) -> MatchingTrainState:
     """``matching_main.train`` (:81-241): batch-1 steps, loss EMA(0.99)
     printing every ``log_every``, snapshots every cfg.snapshot_interval."""
     max_iters = max_iters or cfg.max_iters
@@ -57,8 +84,10 @@ def train_matching(cfg: MatchingConfig, dataset: MatchingTrainDataset,
     meter = ThroughputMeter(max_iters)
 
     gen = BackgroundGenerator(dataset.make_batch, num_steps=max_iters - start)
+    profiler = _ProfileWindow(profile_dir)
     n_iter = start
     for batch in prefetch_to_device(gen, depth=2, mesh=mesh):
+        profiler.tick(n_iter)
         meter.start()
         state, metrics = step_fn(state, batch)
         cls = float(metrics["cls_loss"])
@@ -76,6 +105,7 @@ def train_matching(cfg: MatchingConfig, dataset: MatchingTrainDataset,
         if n_iter % cfg.snapshot_interval == 0 or n_iter == max_iters:
             save_checkpoint(ckpt_dir, n_iter, jax.device_get(state),
                             max_to_keep=10)
+    profiler.close()
     writer.close()
     return state
 
