@@ -31,7 +31,7 @@ def write_record_shard(path: str, names: Sequence[str],
                        color_texts: Sequence[str],
                        text_indices: np.ndarray) -> None:
     assert cartoons.shape[1:] == (RAW_SIZE, RAW_SIZE, 3)
-    assert text_indices.shape[1] == TEXT_LEN
+    assert text_indices.ndim == 2      # [N, text_len] (reference uses 15)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez_compressed(
         path, names=np.asarray(names), cartoons=cartoons.astype(np.uint8),

@@ -217,12 +217,18 @@ def make_fg_gan_train_step(cfg: FGGanConfig, donate: bool = True,
     def step(state: FGGanTrainState, batch_d, batch_g, rng):
         k_d, k_g = jax.random.split(jax.random.fold_in(rng, state.step))
 
-        # ---- D update ----
-        loss_d, d_grads = jax.value_and_grad(d_loss_fn)(
-            state.d_params, state.d_sn, state.g_params, batch_d, k_d)
-        d_updates, d_opt_state = opt_d.update(d_grads, state.d_opt_state,
-                                              state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+        # ---- D update(s): cfg.disc_steps iterations per G step
+        # (``main_procedure.py:199-216``; the reference re-pulls queue batches
+        # per D iteration -- here each iteration re-keys the noise) ----
+        d_params, d_opt_state = state.d_params, state.d_opt_state
+        loss_d = jnp.asarray(0.0)
+        for k in range(max(cfg.disc_steps, 1)):
+            loss_d, d_grads = jax.value_and_grad(d_loss_fn)(
+                d_params, state.d_sn, state.g_params, batch_d,
+                jax.random.fold_in(k_d, k))
+            d_updates, d_opt_state = opt_d.update(d_grads, d_opt_state,
+                                                  d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
 
         # ---- G update (against the updated D) ----
         (loss_g, recon), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
