@@ -88,8 +88,11 @@ def _fetch_latency() -> float:
 def main():
     one_pass, params, make_args = build()
     arg_sets = [make_args(i) for i in range(ITERS)]
-    # warmup / compile (forced by host fetch of the scalar)
-    float(one_pass(*params, *arg_sets[0], jnp.asarray(0.0)))
+    # warmup / compile (forced by host fetch of the scalar); the carry must
+    # be strongly-typed f32 from the start or the second chained call
+    # retraces (weak->strong promotion changes the abstract value)
+    zero = jnp.zeros((), jnp.float32)
+    float(one_pass(*params, *arg_sets[0], zero))
     latency = _fetch_latency()
 
     # the tunnel's dispatch cost is highly variable when cold; time two
@@ -97,7 +100,7 @@ def main():
     best_dt = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        carry = jnp.asarray(0.0)
+        carry = zero
         for i in range(ITERS):
             carry = one_pass(*params, *arg_sets[i], carry)
         digest = float(carry)          # forces the whole chain
