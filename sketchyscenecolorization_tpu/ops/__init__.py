@@ -10,3 +10,4 @@ from .image import (
 )
 from .spatial import generate_spatial_batch
 from .activations import lrelu, prelu, miu_relu, atanh_transform
+from .pallas_mlstm import masked_pixel_lstm, mlstm_pallas, mlstm_scan

@@ -254,3 +254,22 @@ def test_prefetch_and_background_generator():
     seen = sorted(float(b["x"][0]) for b in
                   parallel.prefetch_to_device(gen, depth=2))
     assert seen == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_fg_gan_train_step_data_parallel_matches_single():
+    cfg = FG_SMALL
+    state = create_fg_gan_state(jax.random.PRNGKey(0), cfg)
+    step = make_fg_gan_train_step(cfg, donate=False)
+    bd, bg_ = _fg_batch(cfg), _fg_batch(cfg, 1)
+    rng = jax.random.PRNGKey(3)
+    _, m_single = step(state, bd, bg_, rng)
+
+    mesh = parallel.create_mesh(data=2)
+    state_r = parallel.replicate(create_fg_gan_state(jax.random.PRNGKey(0), cfg), mesh)
+    bd_s = parallel.shard_batch(bd, mesh)
+    bg_s = parallel.shard_batch(bg_, mesh)
+    _, m_dp = step(state_r, bd_s, bg_s, rng)
+    np.testing.assert_allclose(float(m_dp["loss_d"]),
+                               float(m_single["loss_d"]), rtol=2e-4)
+    np.testing.assert_allclose(float(m_dp["loss_g"]),
+                               float(m_single["loss_g"]), rtol=2e-4)
