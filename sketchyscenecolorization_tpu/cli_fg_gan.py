@@ -19,7 +19,7 @@ from .config import FGGanConfig
 def make_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", type=str, default="train",
-                   choices=["train", "val", "inference"])
+                   choices=["train", "val", "test", "inference"])
     p.add_argument("--data_base_dir", type=str, default="data")
     p.add_argument("--output_base_dir", type=str, default="outputs")
     p.add_argument("--resume_from", type=str, default="",
@@ -91,6 +91,16 @@ def main(argv=None) -> int:
         n = fg_validation(cfg, state.g_params, shards,
                           os.path.join(run_dir, "results"))
         print(f"wrote {n} triplets")
+        return 0
+
+    if args.mode == "test":
+        from .text import load_vocab
+        from .train.eval_procedures import fg_test
+        vocab = load_vocab(os.path.join(args.data_base_dir, "vocab.txt"))
+        n = fg_test(cfg, state.g_params, args.data_base_dir,
+                    os.path.join(run_dir, "test_results"), vocab,
+                    seed=args.seed)
+        print(f"wrote {n} outputs")
         return 0
 
     assert args.image_name and args.instruction

@@ -123,7 +123,8 @@ def fg_data_preparation(data_base_dir: str, splits: Sequence[str],
 
     caption_base = os.path.join(data_base_dir, "captions")
     image_base = os.path.join(data_base_dir, "images")
-    categories = sorted(os.listdir(caption_base))
+    categories = sorted(d for d in os.listdir(caption_base)
+                        if os.path.isdir(os.path.join(caption_base, d)))
     vocab = load_vocab(os.path.join(data_base_dir, "vocab.txt"))
 
     written = []

@@ -111,13 +111,14 @@ def fg_inference(cfg: FGGanConfig, g_params, sketch_path: str, category: str,
 def bg_test(cfg: BGGanConfig, engine, dataset, results_dir: str,
             max_items: Optional[int] = None) -> int:
     """BG test loop (``bg_colorization_main.py:834-892``): per entry, run the
-    generator and write input/output/target PNGs; ``engine`` is a
+    generator, write input/output/target PNGs, then paste the FG back over
+    the output via the inner mask (mask==0 is FG); ``engine`` is a
     ``BGColorizeEngine``."""
+    import os.path as osp
+    from ..data.bg_dataset import load_image
     os.makedirs(results_dir, exist_ok=True)
     count = 0
     for entry in dataset.entries:
-        import os.path as osp
-        from ..data.bg_dataset import load_image
         inputs = load_image(osp.join(dataset.inputs_base_dir, entry["fg_name"]),
                             cfg.image_size)[0]
         targets = load_image(osp.join(dataset.targets_base_dir, entry["bg_name"]),
@@ -125,11 +126,69 @@ def bg_test(cfg: BGGanConfig, engine, dataset, results_dir: str,
         out, _ = engine.colorize(inputs, entry["color_text"])
         stem = entry["bg_name"][:-4]
         Image.fromarray(inputs).save(os.path.join(results_dir, stem + "-inputs.png"))
-        Image.fromarray(out).save(os.path.join(results_dir, stem + "-outputs.png"))
         Image.fromarray(targets).save(os.path.join(results_dir, stem + "-targets.png"))
+
+        mask_path = osp.join(dataset.segment_base_dir, entry["fg_name"])
+        if os.path.isfile(mask_path):
+            inner = np.array(Image.open(mask_path).convert("RGB"),
+                             dtype=np.uint8)[:, :, 0]
+            out = out.copy()
+            out[inner == 0] = inputs[inner == 0]
+        Image.fromarray(out).save(os.path.join(results_dir, stem + "-outputs.png"))
         count += 1
         if max_items and count >= max_items:
             break
+    return count
+
+
+def fg_test(cfg: FGGanConfig, g_params, data_base_dir: str, results_dir: str,
+            vocab: Dict[str, int], seed: int = 0,
+            max_items: Optional[int] = None) -> int:
+    """FG test mode (``main_procedure.test`` :361-492): per category, iterate
+    captions/<cat>/test.json, load images/<cat>/sketch/<name>, resize+pad
+    (road gets no margin), encode the caption, forward, save the output."""
+    import json
+    from ..text import colorization_encode
+    from .fg_gan import build_models
+    gen, _ = build_models(cfg)
+    os.makedirs(results_dir, exist_ok=True)
+    cap_base = os.path.join(data_base_dir, "captions")
+    categories = sorted(d for d in os.listdir(cap_base)
+                        if os.path.isdir(os.path.join(cap_base, d)))
+
+    @jax.jit
+    def forward(params, sketch, tokens, labels, noise):
+        return gen.apply({"params": params}, sketch, tokens, labels, noise)
+
+    rng = jax.random.PRNGKey(seed)
+    s = cfg.image_size
+    count = 0
+    for class_id, cate in enumerate(categories):
+        with open(os.path.join(data_base_dir, "captions", cate,
+                               "test.json")) as f:
+            entries = json.load(f)
+        for e in entries:
+            image = Image.open(os.path.join(
+                data_base_dir, "images", cate, "sketch",
+                e["key"])).convert("RGB")
+            if image.width != s or image.height != s:
+                margin = 0 if cate == "road" else 10
+                sketch = resize_and_padding_mask_image(image, s,
+                                                       margin_size=margin)
+            else:
+                sketch = np.array(image, dtype=np.uint8)
+            x = sketch.astype(np.float32) / 255.0 * 2.0 - 1.0
+            tokens = colorization_encode(e["color_text"], vocab, cfg.max_len)
+            rng, k = jax.random.split(rng)
+            noise = jax.random.normal(k, (1, cfg.noise_dim), jnp.float32)
+            out = forward(g_params, jnp.asarray(x[None]),
+                          jnp.asarray(np.asarray(tokens, np.int32)[None]),
+                          jnp.asarray(np.asarray([class_id], np.int32)), noise)
+            Image.fromarray(_to_uint8(np.array(out)[0])).save(
+                os.path.join(results_dir, f"{cate}_{e['key'][:-4]}_output.png"))
+            count += 1
+            if max_items and count >= max_items:
+                return count
     return count
 
 
