@@ -96,9 +96,9 @@ def main():
     latency = _fetch_latency()
 
     # the tunnel's dispatch cost is highly variable when cold; time two
-    # chained rounds and report the better sustained rate
+    # chained rounds and report the best sustained rate
     best_dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         carry = zero
         for i in range(ITERS):

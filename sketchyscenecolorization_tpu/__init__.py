@@ -14,10 +14,15 @@ Sub-packages
 - ``models``    : DeepLab-v2 backbone, RMI matching model, FG MRU-GAN, BG residual GAN
 - ``text``      : tokenizers (matching + colorization variants), lexicons, BG text merge
 - ``data``      : fixture IO (sketches / seg_data npz / inner masks), edit records
-- ``parallel``  : device mesh + sharding helpers (DP over ICI via jax.sharding)
+- ``parallel``  : device mesh + sharding helpers (DP/TP over ICI via jax.sharding)
 - ``pipeline``  : end-to-end instruction -> colorized-image orchestration
-- ``train``     : jitted training steps (matching, FG GAN, BG GAN), optimizers
-- ``eval``      : IoU / precision@X / mAP metric harnesses
+- ``train``     : jitted training steps + harnesses (matching, FG GAN, BG GAN)
+- ``evaluation``: IoU / precision@X / mAP metric harnesses
+- ``dataprep``  : offline dataset tooling (caption engine, generators)
+- ``utils``     : checkpointing, TF1 converter, logging/profiling, visualization
+
+Module CLIs: ``cli`` (interactive color/withdraw), ``cli_matching``,
+``cli_fg_gan``, ``cli_bg_gan``.
 """
 
 __version__ = "0.1.0"

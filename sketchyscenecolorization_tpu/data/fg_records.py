@@ -15,7 +15,7 @@ reference transposes to NCHW for cuDNN).
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import scipy.ndimage

@@ -14,7 +14,6 @@ it stays on the host because the mask count N is data-dependent.
 """
 from __future__ import annotations
 
-import os
 from typing import List, Tuple
 
 import numpy as np

@@ -8,8 +8,7 @@ so the harness is model-agnostic and unit-testable with stub predictors.
 from __future__ import annotations
 
 import dataclasses
-import os
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

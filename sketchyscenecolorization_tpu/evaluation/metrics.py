@@ -8,7 +8,7 @@ keeps its sequential semantics (it is order-dependent by design).
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ batch-stats BN that follows provides the offset).  NHWC.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List
 
 import flax.linen as nn
 import jax

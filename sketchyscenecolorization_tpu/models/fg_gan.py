@@ -12,10 +12,9 @@ spectral norm (power-iteration state in the flax 'sn' collection) and PReLU.
 """
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..ops.image import mean_pool_2x2, nn_upsample_2x, box_downsample

@@ -13,18 +13,17 @@ MRU variant.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-from ..ops.activations import lrelu, miu_relu
+from ..ops.activations import lrelu
 from .bg_gan import (
     BottleneckResidualDe, BottleneckResidualEn, BottleneckResidualPu, Conv,
     ConvEx, Deconv,
 )
-from .gan_layers import BatchStatsNorm, SNDense, TextFusionLSTM, normal_init
+from .gan_layers import BatchStatsNorm, SNDense, TextFusionLSTM
 
 NUM_RESIDUAL_UNITS = (3, 4, 6, 3)
 

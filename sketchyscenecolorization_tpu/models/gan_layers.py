@@ -8,13 +8,13 @@ requires reproducing it, not switching to running averages.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv import conv2d as _conv2d, pad1_conv4, conv2d_transpose
+from ..ops.conv import conv2d as _conv2d
 from ..ops.norm import spectral_normalize, l2_normalize
 from ..ops.activations import lrelu, miu_relu, atanh_transform
 from ..ops.lstm import lstm_cell

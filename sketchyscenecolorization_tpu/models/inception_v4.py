@@ -14,7 +14,7 @@ moving-stats BN (scale-free, eps 1e-3, slim defaults) and ReLU.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

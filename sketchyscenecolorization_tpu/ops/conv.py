@@ -9,9 +9,7 @@ layout so a TF1->JAX converter is a pure reshape-free rename.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

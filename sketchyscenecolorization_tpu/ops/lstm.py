@@ -15,7 +15,7 @@ the per-step work is a single [P, H] x [H, 4H] matmul on the MXU (see
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ training through it gives exactly the scan gradients.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from __future__ import annotations
 import collections
 import queue
 import threading
-from typing import Any, Callable, Iterable, Iterator, Optional
+from typing import Any, Callable, Iterable, Iterator
 
 import jax
 

@@ -12,8 +12,7 @@ draws ``tf.random_normal`` inline per run, ``models_collection.py:310``).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ from ..config import BGGanConfig, FGGanConfig, MatchingConfig
 from ..models import rmi
 from ..models.fg_gan import MRUGenerator
 from ..models.bg_gan import ResidualGenerator
-from ..text import load_vocab, matching_encode, colorization_encode
+from ..text import matching_encode, colorization_encode
 
 # BGR pixel means, matching-model preprocessing (``fg_matching_utils.py:11``)
 PIXEL_MU = np.array((104.00698793, 116.66876762, 122.67891434))

@@ -8,7 +8,7 @@ benchmarks; trained checkpoints come from ``utils.checkpoint``).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 

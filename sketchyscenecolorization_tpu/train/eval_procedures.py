@@ -10,14 +10,14 @@ cv2 BGR-flip round-trip lands on the same bytes for outputs/targets; its
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from ..config import BGGanConfig, FGGanConfig, MatchingConfig
+from ..config import BGGanConfig, FGGanConfig
 from ..data.fg_records import preprocess_pair, read_record_shard
 from ..pipeline.compositing import (
     resize_and_padding_mask_image, shifted_drawings, grass_free_inner_mask,

@@ -16,7 +16,7 @@ Optimizer: Adam(beta1=0, beta2=0.9) with linear LR decay floored at 0.2
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

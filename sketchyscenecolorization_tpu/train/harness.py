@@ -26,7 +26,7 @@ from ..utils.checkpoint import latest_checkpoint, restore_checkpoint, save_check
 from ..utils.logging import JsonlMetricWriter, LossEMA, ThroughputMeter, count_params
 
 from .bg_gan import BGGanTrainState, create_bg_gan_state, make_bg_gan_train_step
-from .fg_gan import FGGanTrainState, create_fg_gan_state, make_fg_gan_train_step
+from .fg_gan import create_fg_gan_state, make_fg_gan_train_step
 from .matching import (MatchingTrainState, create_matching_state,
                        make_matching_train_step)
 from .watchdog import NaNWatchdog

@@ -12,7 +12,7 @@ reductions here (identical values, jit-compatible static shapes).
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

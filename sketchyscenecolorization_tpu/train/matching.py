@@ -16,7 +16,7 @@ all-reduce over ICI automatically).  Host-side data loading lives in
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ abort signal and ``run_with_nan_restart`` reproduces the relaunch loop.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional
 
 
 class NaNWatchdog:

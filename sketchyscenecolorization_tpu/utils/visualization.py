@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import colorsys
 import random
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 from PIL import Image, ImageDraw

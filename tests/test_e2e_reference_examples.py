@@ -1,0 +1,44 @@
+"""Full-resolution end-to-end run on the reference's own example fixtures.
+
+Gated behind RUN_E2E=1 (full 768^2 models compile for minutes on the CPU
+backend; on TPU this is fast).  Exercises the flagship FG path, a BG
+instruction with text merging, and withdraw -- the exact
+``sketchyscene_colorization_main.py`` flows on real fixture data.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+RUN = os.environ.get("RUN_E2E") == "1"
+EXAMPLES = "/root/reference/examples"
+
+
+@pytest.mark.skipif(not RUN, reason="set RUN_E2E=1 (minutes of CPU compile)")
+def test_full_pipeline_on_reference_examples(tmp_path):
+    import dataclasses
+    from sketchyscenecolorization_tpu.config import FrameworkConfig, PipelineConfig
+    from sketchyscenecolorization_tpu.pipeline.factory import build_session
+
+    cfg = FrameworkConfig()
+    cfg = dataclasses.replace(cfg, pipeline=PipelineConfig(
+        data_base_dir=EXAMPLES, results_base_dir=str(tmp_path / "outputs"),
+        match_vocab_path="", fg_vocab_path="", bg_vocab_path="",
+        match_ckpt_dir="", fg_ckpt_dir="", bg_ckpt_dir=""))
+    session = build_session(cfg, seed=0)
+
+    out1 = session.colorize(9996, "the bus is yellow with gray windows")
+    img1 = np.array(Image.open(out1))
+    assert img1.shape == (768, 768, 3)
+
+    out2 = session.colorize(9996, "the sky is red and the ground is gray")
+    rec = json.load(open(tmp_path / "outputs" / "update_records" /
+                         "9996_records.json"))
+    assert [r["colorization_type"] for r in rec] == ["FG", "BG"]
+    assert rec[-1]["proc_bg_text"] == "the sky is red and the ground is gray"
+
+    session.withdraw(9996)
+    assert not os.path.isfile(out2)
+    assert os.path.isfile(out1)
