@@ -1,9 +1,11 @@
 """Inception-v4 perceptual module: endpoint shapes and the optional FG loss."""
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sketchyscenecolorization_tpu.config import FGGanConfig
 from sketchyscenecolorization_tpu.models import inception_v4 as inc
@@ -25,6 +27,8 @@ def test_perceptual_loss_zero_for_identical():
     assert float(inc.perceptual_loss(p, img, -img)) > 0.0
 
 
+@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                    reason="inception backward takes ~8 min on CPU; set RUN_SLOW=1")
 def test_fg_train_step_with_perceptual():
     from sketchyscenecolorization_tpu.train import (
         create_fg_gan_state, make_fg_gan_train_step)
