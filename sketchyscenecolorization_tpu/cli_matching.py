@@ -26,7 +26,7 @@ def make_parser():
     p.add_argument("--data_base_dir", type=str, default="data")
     p.add_argument("--captions_base_dir", type=str, default="data")
     p.add_argument("--seg_data_base_dir", type=str, default="data")
-    p.add_argument("--vocab_path", type=str, default="data/vocab.txt")
+    p.add_argument("--vocab_path", type=str, default="data/match_vocab.txt")
     p.add_argument("--vocab_size", type=int, default=76)
     p.add_argument("--max_len", type=int, default=15)
     p.add_argument("--run_dir", type=str, default="outputs/matching")
