@@ -66,3 +66,33 @@ def test_all_released_captions_tokenize_in_vocab():
                     unk += 1 in idx[:n]
     assert total > 30000
     assert unk == 0
+
+
+def test_engine_generated_captions_are_in_released_vocab():
+    """Captions our caption engine produces on random scenes stay inside the
+    released vocabulary.  (The training-time color augmentation legitimately
+    introduces <unk>s -- the released vocab holds no color words, so the
+    reference's augmented colors tokenize to <unk> as well.)"""
+    import numpy as np
+    from sketchyscenecolorization_tpu.dataprep import SceneDescriber, SceneItem
+
+    mv = load_vocab(os.path.join(DATA, "match_vocab.txt"))
+    cats = ["house", "bus", "tree", "dog", "cat", "cloud", "sun", "grass",
+            "road", "people", "bird", "chicken", "bench", "truck"]
+    checked = 0
+    for seed in range(12):
+        r = np.random.RandomState(seed)
+        n = r.randint(2, 8)
+        items = []
+        for i in range(n):
+            y1, x1 = r.randint(0, 600), r.randint(0, 600)
+            items.append(SceneItem(category=str(r.choice(cats)), id=i,
+                                   left=x1, top=y1,
+                                   width=r.randint(40, 160),
+                                   height=r.randint(40, 160)))
+        caption, _, sen_map = SceneDescriber(items).get_text()
+        for sen in [s.strip() for s in caption.split(".")[:-1]]:
+            idx, ln = matching_encode(sen, mv, 15)
+            assert 1 not in idx[:ln], f"<unk> in: {sen!r}"
+            checked += 1
+    assert checked > 50
