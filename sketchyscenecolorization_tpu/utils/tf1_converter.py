@@ -137,3 +137,118 @@ def merge_converted(params: Params, converted: Params) -> Params:
                 out[k] = v
         return out
     return merge(params, converted)
+
+
+# ---------------------------------------------------------------- BG GAN
+
+BG_NUM_RESIDUAL_UNITS = (3, 4, 6, 3)
+
+
+def _bg_block_entries(m, tf_scope: str, our_scope: str, kind: str) -> None:
+    """One bottleneck block's conv+bn leaves.
+
+    kind: 'en' (block_1/add = pad-1 conv), 'de' (block_1/add = deconv,
+    filters transposed), 'pu' (all conv_ex, no block_add).
+    Helper scopes (``bg_colorization_main.py:41-98``): conv->'conv',
+    conv_ex->'conv_ex', deconv->'deconv', batchnorm->'batchnorm'.
+    """
+    specs = {
+        "en": [("block_1", "conv", "block_1_conv"),
+               ("block_2", "conv_ex", "block_2_conv"),
+               ("block_3", "conv_ex", "block_3_conv"),
+               ("block_add", "conv", "block_add_conv")],
+        "de": [("block_1", "deconv", "block_1_deconv"),
+               ("block_2", "conv_ex", "block_2_conv"),
+               ("block_3", "conv_ex", "block_3_conv"),
+               ("block_add", "deconv", "block_add_deconv")],
+        "pu": [("block_1", "conv_ex", "block_1_conv"),
+               ("block_2", "conv_ex", "block_2_conv"),
+               ("block_3", "conv_ex", "block_3_conv")],
+    }[kind]
+    for tf_block, conv_scope, our_conv in specs:
+        m[f"{tf_scope}/{tf_block}/{conv_scope}/filter"] = \
+            (our_scope, our_conv, "filter")
+        bn_key = our_conv.rsplit("_", 1)[0] + "_bn"
+        for leaf in ("offset", "scale"):
+            m[f"{tf_scope}/{tf_block}/batchnorm/{leaf}"] = \
+                (our_scope, bn_key, leaf)
+
+
+def bg_generator_name_map(multi_residual: bool = True
+                          ) -> Dict[str, Tuple[str, ...]]:
+    """{tf_name: our-tree path} for the BG residual generator
+    (``bg_colorization_main.py:302-420``; LSTM var names from the
+    MultiRNNCell([BasicLSTMCell]) calls inside scopes RNN/WLSTM and
+    RNN/ALSTM, :178-199).  Deconv filters are [kh,kw,out,in] in TF --
+    pass them through ``swap_deconv_filter``."""
+    g = "generator"
+    m: Dict[str, Tuple[str, ...]] = {}
+
+    m[f"{g}/encoder_1/conv_ex/filter"] = ("encoder_1_conv", "filter")
+    for leaf in ("offset", "scale"):
+        m[f"{g}/encoder_1/batchnorm/{leaf}"] = ("encoder_1_bn", leaf)
+
+    for e in range(4):
+        scope = f"encoder_{e + 2}_0"
+        _bg_block_entries(m, f"{g}/{scope}", scope, "en")
+        if multi_residual:
+            for u in range(1, BG_NUM_RESIDUAL_UNITS[e]):
+                scope_u = f"encoder_{e + 2}_{u}"
+                _bg_block_entries(m, f"{g}/{scope_u}", scope_u, "pu")
+
+    t = f"{g}/mLSTM_G"
+    m[f"{t}/embedding"] = ("mLSTM_G", "embedding")
+    m[f"{t}/RNN/WLSTM/multi_rnn_cell/cell_0/basic_lstm_cell/kernel"] = \
+        ("mLSTM_G", "wlstm_w")
+    m[f"{t}/RNN/WLSTM/multi_rnn_cell/cell_0/basic_lstm_cell/bias"] = \
+        ("mLSTM_G", "wlstm_b")
+    m[f"{t}/RNN/ALSTM/multi_rnn_cell/cell_0/basic_lstm_cell/kernel"] = \
+        ("mLSTM_G", "alstm_w")
+    m[f"{t}/RNN/ALSTM/multi_rnn_cell/cell_0/basic_lstm_cell/bias"] = \
+        ("mLSTM_G", "alstm_b")
+
+    m[f"{g}/region_br_projection/conv_ex/filter"] = \
+        ("region_br_projection_conv", "filter")
+    for leaf in ("offset", "scale"):
+        m[f"{g}/region_br_projection/batchnorm/{leaf}"] = \
+            ("region_br_projection_bn", leaf)
+
+    for d, skip in enumerate((5, 4, 3, 2)):
+        scope = f"decoder_{skip}_0"
+        _bg_block_entries(m, f"{g}/{scope}", scope, "de")
+        if multi_residual:
+            for u in range(1, BG_NUM_RESIDUAL_UNITS[skip - 2]):
+                scope_u = f"decoder_{skip}_{u}"
+                _bg_block_entries(m, f"{g}/{scope_u}", scope_u, "pu")
+        m[f"{g}/region_br_{skip}/deconv/filter"] = \
+            (f"region_br_{skip}_deconv", "filter")
+        for leaf in ("offset", "scale"):
+            m[f"{g}/region_br_{skip}/batchnorm/{leaf}"] = \
+                (f"region_br_{skip}_bn", leaf)
+
+    m[f"{g}/decoder_1/deconv/filter"] = ("decoder_1_deconv", "filter")
+    m[f"{g}/region_br_1/deconv/filter"] = ("region_br_1_deconv", "filter")
+    for leaf in ("offset", "scale"):
+        m[f"{g}/decoder_1/batchnorm/{leaf}"] = ("decoder_1_bn", leaf)
+        m[f"{g}/region_br_1/batchnorm/{leaf}"] = ("region_br_1_bn", leaf)
+    return m
+
+
+def convert_bg_generator(tf_vars: TFVars, multi_residual: bool = True,
+                         strict: bool = False) -> Params:
+    """Flat TF vars -> the ``models/bg_gan.ResidualGenerator`` param tree
+    (deconv filters axis-swapped to HWIO)."""
+    name_map = bg_generator_name_map(multi_residual)
+    tree: Params = {}
+    missing: List[str] = []
+    for tf_name, path in name_map.items():
+        if tf_name not in tf_vars:
+            missing.append(tf_name)
+            continue
+        value = np.asarray(tf_vars[tf_name])
+        if "/deconv/filter" in tf_name:
+            value = swap_deconv_filter(value)
+        _set_path(tree, path, value)
+    if strict and missing:
+        raise KeyError(f"{len(missing)} variables missing, first: {missing[:5]}")
+    return tree

@@ -74,3 +74,31 @@ def test_visualization_outputs(tmp_path):
                                    save_path=str(tmp_path / "c.png"))
     assert comp.shape == (32, 64, 3)
     assert len(generate_colors(5)) == 5
+
+
+def test_bg_generator_map_covers_flax_tree():
+    """The BG name map's target paths are exactly the ResidualGenerator's
+    parameter leaves, and a fabricated TF checkpoint round-trips (with
+    deconv filters axis-swapped)."""
+    import jax.numpy as jnp
+    from sketchyscenecolorization_tpu.models.bg_gan import ResidualGenerator
+    from sketchyscenecolorization_tpu.utils.tf1_converter import (
+        bg_generator_name_map, convert_bg_generator)
+
+    gen = ResidualGenerator(ngf=4, vocab_size=8, multi_residual=True)
+    params = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32),
+                      jnp.ones((1, 4), jnp.int32))["params"]
+    flat = _flatten(params)
+    name_map = bg_generator_name_map(multi_residual=True)
+    assert set(name_map.values()) == set(flat.keys())
+
+    tf_vars = {}
+    for tf_name, path in name_map.items():
+        v = flat[path]
+        if "/deconv/filter" in tf_name:
+            v = np.swapaxes(v, 2, 3)      # back to TF layout
+        tf_vars[tf_name] = v
+    converted = convert_bg_generator(tf_vars, strict=True)
+    for path, leaf in _flatten(converted).items():
+        np.testing.assert_array_equal(leaf, flat[path])
