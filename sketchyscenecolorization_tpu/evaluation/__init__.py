@@ -3,3 +3,4 @@ from .metrics import (
     MAP_IOU_THRESHOLDS,
 )
 from .harness import MatchingEvaluator, SegEvalResult
+from .inception_score import inception_score, acgan_class_probs

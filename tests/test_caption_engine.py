@@ -148,3 +148,22 @@ def test_bg_data_generation(tmp_path):
     # augmented image exists with recolored sky
     aug = np.array(Image.open(tmp_path / "background/train/a_1.png"))
     assert not (aug[0, 0] == BG_COLOR_MAP["blue"]).all() or True
+
+
+@pytest.mark.parametrize("seed", range(100, 108))
+def test_random_dense_scene_parity(seed):
+    """Larger scenes (up to 14 items, repeated categories) stress grouping,
+    naming, and reference wiring."""
+    rng = np.random.RandomState(seed)
+    n = rng.randint(6, 15)
+    pool = ["house", "house", "bus", "tree", "tree", "tree", "dog", "dog",
+            "cat", "sheep", "cloud", "sun", "star", "grass", "road",
+            "people", "bird", "butterfly", "bench", "chicken"]
+    cats = list(rng.choice(pool, size=n))
+    boxes = []
+    for _ in range(n):
+        y1 = rng.randint(0, 640)
+        x1 = rng.randint(0, 640)
+        boxes.append((y1, x1, y1 + rng.randint(30, 128),
+                      x1 + rng.randint(30, 128)))
+    _compare_scene(boxes, cats)

@@ -73,3 +73,34 @@ def test_evaluator_accumulates():
     assert res.precision_at[0.5] == 0.5          # one of two >= 0.5
     np.testing.assert_allclose(res.cum_iou, (32 + 8) / (32 + 32))
     assert "overall IoU" in res.summary()
+
+
+def test_inception_score_bounds():
+    from sketchyscenecolorization_tpu.evaluation import inception_score
+    # uniform posteriors -> marginal == posterior -> IS = 1
+    uniform = np.full((100, 10), 0.1)
+    mean, std = inception_score(uniform, splits=5)
+    np.testing.assert_allclose(mean, 1.0, rtol=1e-6)
+    # confident + diverse one-hots -> IS == num classes
+    onehot = np.eye(10)[np.arange(100) % 10]
+    mean, _ = inception_score(onehot, splits=5)
+    np.testing.assert_allclose(mean, 10.0, rtol=1e-5)
+    # confident but mode-collapsed -> IS = 1
+    collapsed = np.tile(np.eye(10)[0], (100, 1))
+    mean, _ = inception_score(collapsed, splits=5)
+    np.testing.assert_allclose(mean, 1.0, rtol=1e-6)
+
+
+def test_acgan_class_probs_shapes():
+    import jax
+    from sketchyscenecolorization_tpu.config import FGGanConfig
+    from sketchyscenecolorization_tpu.evaluation import acgan_class_probs
+    from sketchyscenecolorization_tpu.train.fg_gan import create_fg_gan_state
+    cfg = FGGanConfig(batch_size=1, image_size=64, vocab_size=10, max_len=4,
+                      base_channels=4, noise_dim=8)
+    state = create_fg_gan_state(jax.random.PRNGKey(0), cfg)
+    imgs = np.random.RandomState(0).uniform(-1, 1, (5, 64, 64, 3)).astype(np.float32)
+    probs = acgan_class_probs(cfg, state.d_params, state.d_sn, imgs,
+                              batch_size=3)
+    assert probs.shape == (5, cfg.num_classes)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-5)
