@@ -252,3 +252,164 @@ def convert_bg_generator(tf_vars: TFVars, multi_residual: bool = True,
     if strict and missing:
         raise KeyError(f"{len(missing)} variables missing, first: {missing[:5]}")
     return tree
+
+
+# ---------------------------------------------------------------- FG GAN
+
+def _fg_conv_block_entries(m, tf_scope: str, path_prefix: Tuple[str, ...],
+                           block_params: Params) -> None:
+    """MRU conv cell v3 (``mru.py:353-461``).  Unnamed convs uniquify as
+    Conv, Conv_1, ... in creation order: image conv, h conv1 (its conditional
+    BN builds inside the same scope), h conv2, then the optional ht
+    projection."""
+    def bn(tf_sub, our_sub):
+        for leaf in ("offset", "scale"):
+            m[f"{tf_scope}/{tf_sub}/{leaf}"] = path_prefix + our_sub + (leaf,)
+
+    bn("norm_activation_in", ("norm_activation_in", "CondBatchNorm_0"))
+    for leaf in ("weights", "biases"):
+        m[f"{tf_scope}/update_gate/{leaf}"] = \
+            path_prefix + ("update_gate", leaf)
+        m[f"{tf_scope}/Conv/{leaf}"] = path_prefix + ("image_conv", leaf)
+        m[f"{tf_scope}/Conv_1/{leaf}"] = path_prefix + ("h_conv1", leaf)
+        m[f"{tf_scope}/Conv_2/{leaf}"] = path_prefix + ("h_conv2", leaf)
+    bn("norm_activation_merge_1", ("norm_activation_merge_1", "CondBatchNorm_0"))
+    bn("Conv_1", ("h_conv1_bn",))
+    if "ht_proj" in block_params:
+        for leaf in ("weights", "biases"):
+            m[f"{tf_scope}/Conv_3/{leaf}"] = path_prefix + ("ht_proj", leaf)
+
+
+def _fg_deconv_block_entries(m, tf_scope: str, path_prefix: Tuple[str, ...],
+                             block_params: Params) -> None:
+    """MRU deconv cell v2 (``mru.py:527-591``).  ALL convs are unnamed:
+    Conv=update gate, Conv_1=output gate, Conv_2/Conv_3=h convs (conditional
+    BN inside each scope), Conv_4=optional ht projection (with BN)."""
+    pairs = [("Conv", ("update_gate",), None),
+             ("Conv_1", ("output_gate",), None),
+             ("Conv_2", ("h_conv1",), ("h_conv1_bn",)),
+             ("Conv_3", ("h_conv2",), ("h_conv2_bn",))]
+    if "ht_proj" in block_params:
+        pairs.append(("Conv_4", ("ht_proj",), ("ht_proj_bn",)))
+    for tf_sub, our_conv, our_bn in pairs:
+        for leaf in ("weights", "biases"):
+            m[f"{tf_scope}/{tf_sub}/{leaf}"] = path_prefix + our_conv + (leaf,)
+        if our_bn is not None:
+            for leaf in ("offset", "scale"):
+                m[f"{tf_scope}/{tf_sub}/{leaf}"] = \
+                    path_prefix + our_bn + (leaf,)
+
+
+def fg_generator_name_map(g_params: Params) -> Dict[str, Tuple[str, ...]]:
+    """{tf_name: our-tree path} for the FG MRU generator
+    (``models_collection.py:251-377``, scopes derived from the unnamed-conv
+    creation order in ``mru.py``; num_blocks=1).  Takes the actual flax
+    parameter tree so optional projection convs match the real topology."""
+    g = "generator"
+    m: Dict[str, Tuple[str, ...]] = {}
+
+    # root-scope unnamed convs, creation order: encoder h0, final out conv
+    for leaf in ("weights", "biases"):
+        m[f"{g}/Conv/{leaf}"] = ("enc_h0", leaf)
+        m[f"{g}/Conv_1/{leaf}"] = ("out_conv", leaf)
+
+    for u in range(1, 5):                           # encoder unit_num 1..4
+        _fg_conv_block_entries(
+            m, f"{g}/mru_conv_unit_t_{u}_layer_0",
+            (f"enc_stage_{u}", "layer_0"),
+            g_params[f"enc_stage_{u}"]["layer_0"])
+    for leaf in ("offset", "scale"):
+        m[f"{g}/mru_conv_unit_last_norm/{leaf}"] = \
+            ("enc_stage_4", "last_norm", "CondBatchNorm_0", leaf)
+
+    t = f"{g}/TextLSTM"
+    m[f"{t}/embedding"] = ("TextLSTM", "embedding")
+    m[f"{t}/RNN/WLSTM/basic_lstm_cell/kernel"] = ("TextLSTM", "wlstm_w")
+    m[f"{t}/RNN/WLSTM/basic_lstm_cell/bias"] = ("TextLSTM", "wlstm_b")
+    m[f"{t}/RNN/ALSTM/basic_lstm_cell/kernel"] = ("TextLSTM", "alstm_w")
+    m[f"{t}/RNN/ALSTM/basic_lstm_cell/bias"] = ("TextLSTM", "alstm_b")
+
+    for leaf in ("weights", "biases"):
+        m[f"{g}/fully_connected/{leaf}"] = ("noise_fc", leaf)
+
+    for i, u in enumerate((0, 2, 4, 6, 8)):         # decoder unit numbering
+        _fg_deconv_block_entries(
+            m, f"{g}/mru_deconv_unit_t_{u}_layer_0",
+            (f"dec_stage_{i}", "layer_0"),
+            g_params[f"dec_stage_{i}"]["layer_0"])
+    return m
+
+
+def convert_fg_generator(tf_vars: TFVars, g_params_template: Params,
+                         strict: bool = False) -> Params:
+    """Flat TF vars -> the ``models/fg_gan.MRUGenerator`` param tree."""
+    name_map = fg_generator_name_map(g_params_template)
+    tree: Params = {}
+    missing = []
+    for tf_name, path in name_map.items():
+        if tf_name not in tf_vars:
+            missing.append(tf_name)
+            continue
+        _set_path(tree, path, np.asarray(tf_vars[tf_name]))
+    if strict and missing:
+        raise KeyError(f"{len(missing)} variables missing, first: {missing[:5]}")
+    return tree
+
+
+def _fg_disc_block_entries(m, tf_scope: str, prefix: Tuple[str, ...],
+                           block_params: Params) -> None:
+    """Discriminator MRU cell v3: normalizer None, PReLU activations (their
+    scalar lives under '<scope>/prelu/param'), spectral-norm 'u' under each
+    conv scope."""
+    m[f"{tf_scope}/norm_activation_in/prelu/param"] = \
+        ("params",) + prefix + ("norm_activation_in", "prelu_param")
+    m[f"{tf_scope}/norm_activation_merge_1/prelu/param"] = \
+        ("params",) + prefix + ("norm_activation_merge_1", "prelu_param")
+    convs = [("update_gate", ("update_gate",)), ("Conv", ("image_conv",)),
+             ("Conv_1", ("h_conv1",)), ("Conv_2", ("h_conv2",))]
+    if "ht_proj" in block_params:
+        convs.append(("Conv_3", ("ht_proj",)))
+    for tf_sub, ours in convs:
+        for leaf in ("weights", "biases"):
+            m[f"{tf_scope}/{tf_sub}/{leaf}"] = ("params",) + prefix + ours + (leaf,)
+        m[f"{tf_scope}/{tf_sub}/u"] = ("sn",) + prefix + ours + ("u",)
+    m[f"{tf_scope}/Conv_1/prelu/param"] = \
+        ("params",) + prefix + ("h_conv1", "prelu_param")
+
+
+def fg_discriminator_name_map(d_params: Params) -> Dict[str, Tuple[str, ...]]:
+    """{tf_name: ('params'|'sn', *path)} for the FG MRU discriminator
+    (``models_collection.py:676-786``; ACGAN head, proj_d=False)."""
+    d = "discriminator"
+    m: Dict[str, Tuple[str, ...]] = {}
+    for leaf in ("weights", "biases"):
+        m[f"{d}/Conv/{leaf}"] = ("params", "h0", leaf)
+        m[f"{d}/Conv_1/{leaf}"] = ("params", "disc_out", leaf)
+        m[f"{d}/fully_connected/{leaf}"] = ("params", "ac_logits", leaf)
+    m[f"{d}/Conv/prelu/param"] = ("params", "h0", "prelu_param")
+    m[f"{d}/Conv/u"] = ("sn", "h0", "u")
+    m[f"{d}/Conv_1/u"] = ("sn", "disc_out", "u")
+    m[f"{d}/fully_connected/u"] = ("sn", "ac_logits", "u")
+    for u in range(1, 5):
+        _fg_disc_block_entries(m, f"{d}/mru_conv_unit_t_{u}_layer_0",
+                               (f"stage_{u}", "layer_0"),
+                               d_params[f"stage_{u}"]["layer_0"])
+    m[f"{d}/mru_conv_unit_last_norm/prelu/param"] = \
+        ("params", "stage_4", "last_norm", "prelu_param")
+    return m
+
+
+def convert_fg_discriminator(tf_vars: TFVars, d_params_template: Params,
+                             strict: bool = False) -> Dict[str, Params]:
+    """Flat TF vars -> {'params': ..., 'sn': ...} for the FG discriminator."""
+    name_map = fg_discriminator_name_map(d_params_template)
+    out: Dict[str, Params] = {"params": {}, "sn": {}}
+    missing = []
+    for tf_name, path in name_map.items():
+        if tf_name not in tf_vars:
+            missing.append(tf_name)
+            continue
+        _set_path(out[path[0]], path[1:], np.asarray(tf_vars[tf_name]))
+    if strict and missing:
+        raise KeyError(f"{len(missing)} variables missing, first: {missing[:5]}")
+    return out

@@ -102,3 +102,55 @@ def test_bg_generator_map_covers_flax_tree():
     converted = convert_bg_generator(tf_vars, strict=True)
     for path, leaf in _flatten(converted).items():
         np.testing.assert_array_equal(leaf, flat[path])
+
+
+def test_fg_generator_map_covers_flax_tree():
+    import jax
+    import jax.numpy as jnp
+    from sketchyscenecolorization_tpu.models.fg_gan import MRUGenerator
+    from sketchyscenecolorization_tpu.utils.tf1_converter import (
+        convert_fg_generator, fg_generator_name_map)
+
+    gen = MRUGenerator(num_classes=5, vocab_size=8, size=4, num_blocks=1)
+    params = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32),
+                      jnp.ones((1, 4), jnp.int32),
+                      jnp.zeros((1,), jnp.int32),
+                      jnp.zeros((1, 8), jnp.float32))["params"]
+    flat = _flatten(params)
+    name_map = fg_generator_name_map(params)
+    assert set(name_map.values()) == set(flat.keys()), (
+        sorted(set(map("/".join, name_map.values()))
+               ^ set(map("/".join, flat.keys())))[:10])
+
+    tf_vars = {tf_name: flat[path] for tf_name, path in name_map.items()}
+    converted = convert_fg_generator(tf_vars, params, strict=True)
+    for path, leaf in _flatten(converted).items():
+        np.testing.assert_array_equal(leaf, flat[path])
+
+
+def test_fg_discriminator_map_covers_flax_tree():
+    import jax
+    import jax.numpy as jnp
+    from sketchyscenecolorization_tpu.models.fg_gan import MRUDiscriminator
+    from sketchyscenecolorization_tpu.utils.tf1_converter import (
+        convert_fg_discriminator, fg_discriminator_name_map)
+
+    disc = MRUDiscriminator(num_classes=5, size=4, num_blocks=1, sn=True)
+    variables = disc.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 64, 64, 3), jnp.float32),
+                          jnp.zeros((1, 64, 64, 3), jnp.float32),
+                          jnp.zeros((1,), jnp.int32))
+    flat = {("params",) + p: v for p, v in _flatten(variables["params"]).items()}
+    flat.update({("sn",) + p: v for p, v in _flatten(variables["sn"]).items()})
+    name_map = fg_discriminator_name_map(variables["params"])
+    assert set(name_map.values()) == set(flat.keys()), (
+        sorted(set(map("/".join, name_map.values()))
+               ^ set(map("/".join, flat.keys())))[:12])
+
+    tf_vars = {tf_name: flat[path] for tf_name, path in name_map.items()}
+    converted = convert_fg_discriminator(tf_vars, variables["params"],
+                                         strict=True)
+    for col in ("params", "sn"):
+        for p, leaf in _flatten(converted[col]).items():
+            np.testing.assert_array_equal(leaf, flat[(col,) + p])
