@@ -12,7 +12,7 @@ draws ``tf.random_normal`` inline per run, ``models_collection.py:310``).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,20 +47,32 @@ class MatchingEngine:
                      input_text: str) -> np.ndarray:
         """uint8 [768,768,3] sketch + instruction -> binary {0,1} mask
         restricted to drawing pixels."""
+        return self.predict_masks(sketch_image_uint8, [input_text])[0]
+
+    def predict_masks(self, sketch_image_uint8: np.ndarray,
+                      input_texts: Sequence[str]) -> np.ndarray:
+        """Batched serving: N instructions against one sketch in a single
+        forward (the backbone runs once per batch row but every layer is
+        batch-independent -- frozen BN, per-pixel mLSTM -- so results are
+        bitwise identical to N single-instruction calls).  Returns
+        [N, H, W] binary masks."""
         image = sketch_image_uint8.astype(np.float32) - PIXEL_MU
         bin_drawing = sketch_image_uint8[:, :, 0].copy()
         bin_drawing[bin_drawing == 0] = 1
         bin_drawing[bin_drawing == 255] = 0
 
-        indices, seq_len = matching_encode(input_text, self.vocab,
-                                           self.cfg.max_len)
-        up = self._forward(self.params,
-                           jnp.asarray(image[None]),
-                           jnp.asarray(np.asarray(indices, np.int32)[None]),
-                           jnp.asarray(np.asarray([seq_len], np.int32)))
-        up = np.squeeze(np.asarray(up))
-        predicts = (up >= self.score_thresh).astype(np.float32)
-        return predicts * bin_drawing
+        n = len(input_texts)
+        words = np.zeros((n, self.cfg.max_len), np.int32)
+        lens = np.zeros((n,), np.int32)
+        for i, text in enumerate(input_texts):
+            idx, ln = matching_encode(text, self.vocab, self.cfg.max_len)
+            words[i] = idx
+            lens[i] = ln
+        images = np.broadcast_to(image, (n, *image.shape))
+        up = np.asarray(self._forward(self.params, jnp.asarray(images),
+                                      jnp.asarray(words), jnp.asarray(lens)))
+        predicts = (up[..., 0] >= self.score_thresh).astype(np.float32)
+        return predicts * bin_drawing[None]
 
 
 class FGColorizeEngine:

@@ -228,3 +228,17 @@ def test_fg_rejects_unknown_category(session_env):
                      {"inner_masks": np.zeros((SIZE, SIZE), np.uint8)})
     with pytest.raises(ValueError, match="Wrong matching instance"):
         session.colorize_foreground(8, "the dog is red", [0], "8_1.png", "")
+
+
+def test_predict_masks_batched_matches_single(session_env):
+    tmp_path, cfg, session = session_env
+    from sketchyscenecolorization_tpu.data.fixtures import load_sketch_image
+    sketch = load_sketch_image(
+        str(tmp_path / "examples" / "sketches" / "7.png"),
+        dtype=np.uint8, size=SIZE)
+    texts = ["the bus", "the bus is yellow", "the grass"]
+    batched = session.matching.predict_masks(sketch, texts)
+    assert batched.shape == (3, SIZE, SIZE)
+    for i, t in enumerate(texts):
+        single = session.matching.predict_mask(sketch, t)
+        np.testing.assert_array_equal(batched[i], single)
