@@ -167,3 +167,46 @@ def test_random_dense_scene_parity(seed):
         boxes.append((y1, x1, y1 + rng.randint(30, 128),
                       x1 + rng.randint(30, 128)))
     _compare_scene(boxes, cats)
+
+
+def test_matching_data_generation_end_to_end(tmp_path, monkeypatch):
+    """GT .mat scenes -> caption engine -> sentence_instance JSON, with
+    invalid-category scenes excluded."""
+    import scipy.io
+    from PIL import Image
+    import sketchyscenecolorization_tpu.data.matching_dataset as md
+    monkeypatch.setattr(md, "IMAGE_SIZE", 64)
+
+    cats46 = [f"c{i}" for i in range(46)]
+    cats46[0] = "bus"          # id 1
+    cats46[1] = "tree"         # id 2
+    cats46[2] = "others2"      # id 3: INVALID category
+
+    base = tmp_path / "train"
+    for d in ("DRAWING_GT", "CLASS_GT", "INSTANCE_GT"):
+        os.makedirs(base / d, exist_ok=True)
+
+    def write_scene(image_id, class_id):
+        img = np.full((64, 64, 3), 255, np.uint8)
+        Image.fromarray(img).save(base / "DRAWING_GT" / f"L0_sample{image_id}.png")
+        inst = np.zeros((64, 64), np.uint8)
+        inst[10:30, 10:40] = 1
+        cls = np.zeros((64, 64), np.uint8)
+        cls[10:30, 10:40] = class_id
+        scipy.io.savemat(base / "INSTANCE_GT" / f"sample_{image_id}_instance.mat",
+                         {"INSTANCE_GT": inst})
+        scipy.io.savemat(base / "CLASS_GT" / f"sample_{image_id}_class.mat",
+                         {"CLASS_GT": cls})
+
+    write_scene(1, 1)   # bus -> valid
+    write_scene(2, 3)   # invalid category -> excluded
+    res = matching_data_generation(str(tmp_path), ["train"], cats46,
+                                   save_dir=str(tmp_path / "out"),
+                                   image_counts={"train": 2})
+    assert len(res["train"]) == 1
+    entry = res["train"][0]
+    assert entry["key"] == 1
+    assert all(ids == [0] for ids in entry["sen_instIdx_map"].values())
+    assert "the bus" in entry["sen_instIdx_map"]
+    saved = json.load(open(tmp_path / "out" / "sentence_instance_train.json"))
+    assert saved == res["train"]

@@ -242,3 +242,41 @@ def test_predict_masks_batched_matches_single(session_env):
     for i, t in enumerate(texts):
         single = session.matching.predict_mask(sketch, t)
         np.testing.assert_array_equal(batched[i], single)
+
+
+def test_road_instance_goes_through_margin0_path(session_env):
+    """A road instance (class 36) uses margin 0 and must pass the
+    single-line guard when it has parallel strokes."""
+    tmp_path, cfg, session = session_env
+    base = str(tmp_path / "examples")
+    sketch = np.full((SIZE, SIZE, 3), 255, np.uint8)
+    sketch[40, 2:62] = 0
+    sketch[50, 2:62] = 0
+    Image.fromarray(sketch).save(os.path.join(base, "sketches", "9.png"))
+    road_mask = np.zeros((21, 61), np.uint8)
+    road_mask[0, :] = 1
+    road_mask[10, :] = 1
+    masks = np.empty(1, dtype=object)
+    masks[0] = road_mask
+    np.savez(os.path.join(base, "seg_data", "9_datas.npz"),
+             pred_masks=masks, pred_class_ids=np.array([36]),
+             pred_boxes=np.array([[40, 2, 60, 62]], np.int32))
+    inner = np.zeros((SIZE, SIZE), np.uint8)
+    inner[40:52, 2:62] = 1
+    scipy.io.savemat(os.path.join(base, "inner_masks", "9.mat"),
+                     {"inner_masks": inner})
+    out = session.colorize_foreground(9, "the road is gray", [0],
+                                      "9_1.png", "")
+    assert os.path.isfile(out)
+
+    # a single-line road must be rejected (``fg_color_utils.py:306-308``)
+    masks1 = np.empty(1, dtype=object)
+    single = np.zeros((21, 61), np.uint8)
+    single[10, :] = 1
+    masks1[0] = single
+    np.savez(os.path.join(base, "seg_data", "9_datas.npz"),
+             pred_masks=masks1, pred_class_ids=np.array([36]),
+             pred_boxes=np.array([[40, 2, 60, 62]], np.int32))
+    with pytest.raises(ValueError, match="single line"):
+        session.colorize_foreground(9, "the road is gray", [0],
+                                    "9_2.png", "")
