@@ -20,8 +20,6 @@ import numpy as np
 
 from ..config import BGGanConfig, FGGanConfig, MatchingConfig
 from ..models import rmi
-from ..models.fg_gan import MRUGenerator
-from ..models.bg_gan import ResidualGenerator
 from ..text import matching_encode, colorization_encode
 
 # BGR pixel means, matching-model preprocessing (``fg_matching_utils.py:11``)
@@ -84,9 +82,8 @@ class FGColorizeEngine:
         self.g_params = g_params
         self.vocab = vocab
         self._rng = jax.random.PRNGKey(seed)
-        gen = MRUGenerator(num_classes=cfg.num_classes, vocab_size=cfg.vocab_size,
-                           size=cfg.base_channels, num_blocks=cfg.num_blocks,
-                           lstm_hybrid=cfg.lstm_hybrid)
+        from ..train.fg_gan import build_models
+        gen, _ = build_models(cfg)          # MRU / Pix2Pix / Residual
 
         @jax.jit
         def forward(g_params, sketch, tokens, labels, noise):
@@ -115,18 +112,23 @@ class BGColorizeEngine:
         self.cfg = cfg
         self.g_params = g_params
         self.vocab = vocab
-        gen = ResidualGenerator(ngf=cfg.ngf, vocab_size=cfg.vocab_size,
-                                seg_classes=cfg.seg_classes,
-                                multi_residual=cfg.multi_residual)
+        from ..train.bg_gan import build_models
+        gen, _ = build_models(cfg)          # residual (w/ region) or pix2pix
 
         @jax.jit
         def forward(g_params, image_uint8, tokens):
             # preprocess_examples: uint8 -> [-1, 1] (bg main :101-114)
             x = image_uint8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
-            out, region = gen.apply({"params": g_params}, x, tokens)
+            result = gen.apply({"params": g_params}, x, tokens)
+            if cfg.residual_enc_g:
+                out, region = result
+                labels = jnp.argmax(region, axis=-1)
+            else:                            # pix2pix: no region branch
+                out = result
+                labels = jnp.zeros(out.shape[:3], jnp.int32)
             # deprocess + uint8 saturate (bg main :29-38)
             out = jnp.clip((out + 1.0) / 2.0 * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
-            return out, jnp.argmax(region, axis=-1)
+            return out, labels
         self._forward = forward
 
     def colorize(self, fg_image_uint8: np.ndarray,

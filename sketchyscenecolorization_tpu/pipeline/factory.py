@@ -14,8 +14,6 @@ import jax
 
 from ..config import FrameworkConfig
 from ..models import rmi
-from ..models.fg_gan import MRUGenerator
-from ..models.bg_gan import ResidualGenerator
 from ..text import load_vocab
 from ..utils.checkpoint import latest_checkpoint, restore_checkpoint
 from .engines import BGColorizeEngine, FGColorizeEngine, MatchingEngine
@@ -62,10 +60,10 @@ def build_session(cfg: FrameworkConfig, seed: int = 0) -> ColorizationSession:
         cfg.pipeline.match_ckpt_dir,
         jax.jit(lambda key: rmi.init_params(key, cfg.matching))(k_m))
 
+    from ..train.fg_gan import build_models as fg_models
+    from ..train.bg_gan import build_models as bg_models
     fcfg = cfg.fg_gan
-    gen = MRUGenerator(num_classes=fcfg.num_classes, vocab_size=fcfg.vocab_size,
-                       size=fcfg.base_channels, num_blocks=fcfg.num_blocks,
-                       lstm_hybrid=fcfg.lstm_hybrid)
+    gen, _ = fg_models(fcfg)
     s = fcfg.image_size
     f_params = jax.jit(gen.init)(
         k_f, jnp.zeros((1, s, s, 3), jnp.float32),
@@ -75,9 +73,7 @@ def build_session(cfg: FrameworkConfig, seed: int = 0) -> ColorizationSession:
     f_params = _maybe_restore(cfg.pipeline.fg_ckpt_dir, f_params)
 
     bcfg = cfg.bg_gan
-    bgen = ResidualGenerator(ngf=bcfg.ngf, vocab_size=bcfg.vocab_size,
-                             seg_classes=bcfg.seg_classes,
-                             multi_residual=bcfg.multi_residual)
+    bgen, _ = bg_models(bcfg)
     sb = bcfg.image_size
     b_params = jax.jit(bgen.init)(
         k_b, jnp.zeros((1, sb, sb, 3), jnp.float32),

@@ -280,3 +280,25 @@ def test_road_instance_goes_through_margin0_path(session_env):
     with pytest.raises(ValueError, match="single line"):
         session.colorize_foreground(9, "the road is gray", [0],
                                     "9_2.png", "")
+
+
+def test_session_with_pix2pix_variants(tmp_path_factory):
+    """Engines honor block_type / residual_enc_g: a session built with the
+    Pix2Pix FG generator and the pix2pix BG generator (no region branch)
+    still colorizes end-to-end."""
+    tmp_path = tmp_path_factory.mktemp("pipe_p2p")
+    write_fixtures(str(tmp_path / "examples"))
+    cfg = small_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg,
+        fg_gan=dataclasses.replace(cfg.fg_gan, block_type="Pix2Pix"),
+        bg_gan=dataclasses.replace(cfg.bg_gan, residual_enc_g=False,
+                                   residual_enc_d=False))
+    session = build_session(cfg, seed=0)
+    out1 = session.colorize_foreground(7, "the bus is yellow", [0],
+                                       "7_p2p.png", "")
+    assert os.path.isfile(out1)
+    out2, proc = session.colorize_background(
+        7, "the sky is blue and the ground is green", "7_p2p_bg.png", "", "")
+    assert os.path.isfile(out2)
+    assert proc == "the sky is blue and the ground is green"
