@@ -76,3 +76,24 @@ def test_rmi_with_alt_backbone(backbone, scope):
         jnp.array([3], jnp.int32))
     assert out.sigm.shape == (1, S, S, 1)
     assert bool(jnp.all(jnp.isfinite(out.sigm)))
+
+
+@pytest.mark.parametrize("kwargs", [
+    {"fusion_type": "RecurAttn"},
+    {"use_attn": True},
+])
+def test_matching_engine_with_alt_fusion(kwargs):
+    """RecurAttn fusion and word-attention variants run through the serving
+    engine (config-coverage for ``RMI_model.py:203-273``)."""
+    from sketchyscenecolorization_tpu.pipeline.engines import MatchingEngine
+    cfg = MatchingConfig(vf_h=S // 8, vf_w=S // 8, H=S, W=S, vocab_size=12,
+                         w_emb_dim=16, v_emb_dim=16, m_rnn_size=8,
+                         w_rnn_size=16, max_len=5, **kwargs)
+    params = rmi.init_params(jax.random.PRNGKey(0), cfg)
+    engine = MatchingEngine(cfg, params,
+                            {"<pad>": 0, "<unk>": 1, "the": 2, "bus": 3})
+    sketch = np.full((S, S, 3), 255, np.uint8)
+    sketch[10:30, 10:40] = 0
+    mask = engine.predict_mask(sketch, "the bus")
+    assert mask.shape == (S, S)
+    assert np.isfinite(mask).all()
