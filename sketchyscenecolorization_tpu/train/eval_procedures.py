@@ -20,7 +20,7 @@ from PIL import Image
 from ..config import BGGanConfig, FGGanConfig
 from ..data.fg_records import preprocess_pair, read_record_shard
 from ..pipeline.compositing import (
-    resize_and_padding_mask_image, shifted_drawings, grass_free_inner_mask,
+    resize_and_padding_mask_image, thicken_drawings,
 )
 from ..utils.visualization import visualize_sem_seg
 
@@ -177,6 +177,8 @@ def fg_test(cfg: FGGanConfig, g_params, data_base_dir: str, results_dir: str,
                                                        margin_size=margin)
             else:
                 sketch = np.array(image, dtype=np.uint8)
+            if cate in ("house", "road"):     # main_procedure.py:443-444
+                sketch = thicken_drawings(sketch)
             x = sketch.astype(np.float32) / 255.0 * 2.0 - 1.0
             tokens = colorization_encode(e["color_text"], vocab, cfg.max_len)
             rng, k = jax.random.split(rng)
@@ -186,6 +188,8 @@ def fg_test(cfg: FGGanConfig, g_params, data_base_dir: str, results_dir: str,
                           jnp.asarray(np.asarray([class_id], np.int32)), noise)
             Image.fromarray(_to_uint8(np.array(out)[0])).save(
                 os.path.join(results_dir, f"{cate}_{e['key'][:-4]}_output.png"))
+            Image.fromarray(_to_uint8(x)).save(
+                os.path.join(results_dir, f"{cate}_{e['key'][:-4]}_input.png"))
             count += 1
             if max_items and count >= max_items:
                 return count
