@@ -106,7 +106,9 @@ def main(argv=None) -> int:
     assert args.image_name and args.instruction
     from .text import load_vocab
     from .train.eval_procedures import fg_inference
-    categories = sorted(os.listdir(os.path.join(args.data_base_dir, "captions")))
+    cap_base = os.path.join(args.data_base_dir, "captions")
+    categories = sorted(d for d in os.listdir(cap_base)
+                        if os.path.isdir(os.path.join(cap_base, d)))
     vocab = load_vocab(os.path.join(args.data_base_dir, "vocab.txt"))
     out = fg_inference(cfg, state.g_params,
                        os.path.join("examples", args.image_name),

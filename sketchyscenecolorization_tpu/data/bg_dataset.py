@@ -60,7 +60,7 @@ class BGDataset:
         return len(self.entries)
 
     def make_batch(self, step: int) -> Dict[str, np.ndarray]:
-        e = self.entries[self._rng.randint(0, len(self.entries) - 1)]
+        e = self.entries[self._rng.randrange(len(self.entries))]
         inputs = load_image(os.path.join(self.inputs_base_dir, e["fg_name"]),
                             self.image_size)
         targets = load_image(os.path.join(self.targets_base_dir, e["bg_name"]),

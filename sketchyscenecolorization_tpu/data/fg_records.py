@@ -15,6 +15,7 @@ reference transposes to NCHW for cuDNN).
 from __future__ import annotations
 
 import os
+import threading
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -91,6 +92,7 @@ class FGPairedDataset:
         self.img_size = img_size
         self.distance_map = distance_map
         self._rng = np.random.RandomState(seed)
+        self._lock = threading.Lock()     # make_batch runs on worker threads
         shards = [read_record_shard(p) for p in shard_paths]
         self.cartoons = np.concatenate([s["cartoons"] for s in shards])
         self.sketches = np.concatenate([s["sketches"] for s in shards])
@@ -100,31 +102,32 @@ class FGPairedDataset:
         self.n = len(self.cartoons)
 
     def make_batch(self, step: int) -> Dict[str, np.ndarray]:
-        idx = self._rng.randint(0, self.n, size=self.batch_size)
+        # one lock around all shared-RandomState draws: make_batch is called
+        # from multiple BackgroundGenerator worker threads
+        with self._lock:
+            idx = self._rng.randint(0, self.n, size=self.batch_size)
+            idx_d = self._rng.randint(0, self.n, size=self.batch_size)
+            noise = [self._rng.randint(0, 1 << 31)
+                     for _ in range(2 * self.batch_size)]
         images, sketches = [], []
-        for i in idx:
+        for k, i in enumerate(idx):
             img, sk = preprocess_pair(self.cartoons[i], self.sketches[i],
                                       self.img_size, self.distance_map,
-                                      self._rng)
+                                      np.random.RandomState(noise[k]))
             images.append(img)
             sketches.append(sk)
-        images_d, _ = self._d_batch()
+        images_d = []
+        for k, i in enumerate(idx_d):
+            img, _ = preprocess_pair(self.cartoons[i], self.sketches[i],
+                                     self.img_size, self.distance_map,
+                                     np.random.RandomState(
+                                         noise[self.batch_size + k]))
+            images_d.append(img)
         return {
             "images": np.stack(images).astype(np.float32),
             "sketches": np.stack(sketches).astype(np.float32),
-            "images_d": images_d,
+            "images_d": np.stack(images_d).astype(np.float32),
             "class_id": self.category_ids[idx].astype(np.int32),
-            "class_id_d": self._last_d_ids,
+            "class_id_d": self.category_ids[idx_d].astype(np.int32),
             "tokens": self.text_indices[idx],
         }
-
-    def _d_batch(self):
-        idx = self._rng.randint(0, self.n, size=self.batch_size)
-        images = []
-        for i in idx:
-            img, _ = preprocess_pair(self.cartoons[i], self.sketches[i],
-                                     self.img_size, self.distance_map,
-                                     self._rng)
-            images.append(img)
-        self._last_d_ids = self.category_ids[idx].astype(np.int32)
-        return np.stack(images).astype(np.float32), self._last_d_ids

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -152,18 +153,20 @@ class MatchingTrainDataset:
         self._rng = random.Random(seed)
         self._order: List[int] = []
         self._pos = 0
+        self._lock = threading.Lock()     # make_batch runs on worker threads
 
     def __len__(self):
         return len(self.train_info)
 
     def _next_index(self) -> int:
-        if self._pos >= len(self._order):
-            self._order = list(range(len(self.train_info)))
-            self._rng.shuffle(self._order)
-            self._pos = 0
-        idx = self._order[self._pos]
-        self._pos += 1
-        return idx
+        with self._lock:
+            if self._pos >= len(self._order):
+                self._order = list(range(len(self.train_info)))
+                self._rng.shuffle(self._order)
+                self._pos = 0
+            idx = self._order[self._pos]
+            self._pos += 1
+            return idx
 
     def make_batch(self, step: int) -> Dict[str, np.ndarray]:
         info = self.train_info[self._next_index()]
@@ -172,7 +175,8 @@ class MatchingTrainDataset:
                                     inst_indices=list(info["inst_indices"]))
         caption = info["caption"]
         if self.augment:
-            caption = augment_caption_with_attr(caption, self._rng)
+            with self._lock:
+                caption = augment_caption_with_attr(caption, self._rng)
         indices, seq_len = matching_encode(caption, self.vocab, self.max_len)
         return {
             "image": (sketch - PIXEL_MU).astype(np.float32)[None],

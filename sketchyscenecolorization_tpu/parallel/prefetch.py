@@ -65,22 +65,39 @@ class BackgroundGenerator:
         self._next = 0
         self._num_steps = num_steps
         self._make = make_batch
+        self._stop = threading.Event()
         self._threads = [threading.Thread(target=self._worker, daemon=True)
                          for _ in range(num_workers)]
         for t in self._threads:
             t.start()
 
     def _worker(self):
-        while True:
+        while not self._stop.is_set():
             with self._lock:
                 if self._next >= self._num_steps:
                     return
                 step = self._next
                 self._next += 1
             try:
-                self._q.put(self._make(step))
+                item = self._make(step)
             except BaseException as e:  # surface worker failures to the consumer
-                self._q.put(e)
+                item = e
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def close(self):
+        """Release worker threads and queued batches (call when abandoning
+        the iterator early, e.g. a NaN abort mid-training)."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self):
         for _ in range(self._num_steps):

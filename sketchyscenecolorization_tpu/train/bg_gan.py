@@ -23,7 +23,7 @@ from ..models.bg_gan import (
     Pix2PixGenerator, PatchDiscriminator, ResidualDiscriminator,
     ResidualGenerator,
 )
-from .losses import bg_gan_losses
+from .losses import bg_discrim_loss, bg_gan_losses
 from .schedules import tf1_polynomial_decay
 
 Params = Dict[str, Any]
@@ -104,9 +104,7 @@ def make_bg_gan_train_step(cfg: BGGanConfig, donate: bool = True):
         predict_real = disc.apply({"params": d_params}, batch["inputs"],
                                   batch["targets"])
         predict_fake = disc.apply({"params": d_params}, batch["inputs"], outputs)
-        eps = 1e-12
-        return jnp.mean(-(jnp.log(predict_real + eps)
-                          + jnp.log(1.0 - predict_fake + eps)))
+        return bg_discrim_loss(predict_real, predict_fake)
 
     def g_loss_fn(g_params, d_params, batch):
         outputs, region_logits = forward_g(g_params, batch)

@@ -93,15 +93,23 @@ def _per_tensor_clip(max_norm: float) -> optax.GradientTransformation:
 
 
 def make_optimizers(cfg: FGGanConfig):
-    def lr_sched(base):
-        return lambda step: base * fg_gan_lr_decay(step, cfg.max_iters)
+    # optax's schedule count advances per update; the D optimizer updates
+    # cfg.disc_steps times per global step, so divide its count back to
+    # global steps (the reference decays by global iteration,
+    # graph_single.py:139)
+    d_updates_per_step = max(cfg.disc_steps, 1)
+
+    def lr_sched(base, per_step=1):
+        return lambda count: base * fg_gan_lr_decay(count // per_step,
+                                                    cfg.max_iters)
     chain_g, chain_d = [], []
     if not cfg.spectral_norm:
         chain_g += [optax.clip_by_global_norm(50.0), _per_tensor_clip(5.0)]
         chain_d += [optax.clip_by_global_norm(100.0), _per_tensor_clip(10.0)]
-    adam = lambda base: optax.adam(lr_sched(base), b1=0.0, b2=0.9, eps=1e-8)
+    adam = lambda base, per_step=1: optax.adam(
+        lr_sched(base, per_step), b1=0.0, b2=0.9, eps=1e-8)
     opt_g = optax.chain(*chain_g, adam(cfg.lr_g))
-    opt_d = optax.chain(*chain_d, adam(cfg.lr_d))
+    opt_d = optax.chain(*chain_d, adam(cfg.lr_d, d_updates_per_step))
     return opt_g, opt_d
 
 
@@ -156,12 +164,15 @@ def make_fg_gan_train_step(cfg: FGGanConfig, donate: bool = True,
         out, logits = disc.apply(variables, inputs, targets, labels)
         return out, logits, d_sn
 
-    def gan_losses(d_params, d_sn, fakes, batch, rng):
+    def gan_losses(d_params, d_sn, fakes, batch, rng, capture_sn=False):
         # the reference pairs the G-batch sketches with both the D-batch real
-        # images and the fakes (``graph_single.py:269-273``)
-        real_out, real_logit, _ = disc_apply(
+        # images and the fakes (``graph_single.py:269-273``).  capture_sn
+        # advances the spectral-norm power iteration on the real pass -- the
+        # reference commits u updates once per step at the G optimize
+        # (``graph_single.py:178-212``), and this pass sees the same inputs.
+        real_out, real_logit, new_sn = disc_apply(
             d_params, d_sn, batch["sketches"], batch["images_d"],
-            batch["class_id_d"])
+            batch["class_id_d"], mutable=capture_sn)
         fake_out, fake_logit, _ = disc_apply(
             d_params, d_sn, batch["sketches"], fakes, batch["class_id"])
         if cfg.spectral_norm:
@@ -184,19 +195,20 @@ def make_fg_gan_train_step(cfg: FGGanConfig, donate: bool = True,
                 cfg.num_classes)
             loss_g_gan = loss_g_gan + cfg.coeff_ac * loss_g_ac
             loss_d_gan = loss_d_gan + cfg.coeff_ac * loss_d_ac
-        return loss_g_gan, loss_d_gan
+        return loss_g_gan, loss_d_gan, new_sn
 
     def d_loss_fn(d_params, d_sn, g_params, batch, rng):
         k_noise, k_gp = jax.random.split(rng)
         fakes = generate(g_params, batch, k_noise)
-        _, loss_d_gan = gan_losses(d_params, d_sn, fakes, batch, k_gp)
+        _, loss_d_gan, _ = gan_losses(d_params, d_sn, fakes, batch, k_gp)
         loss_d = loss_d_gan + fc_weight_decay_loss(d_params)
         return loss_d
 
     def g_loss_fn(g_params, d_params, d_sn, batch, rng):
         k_noise, k_gp = jax.random.split(rng)
         fakes = generate(g_params, batch, k_noise)
-        loss_g_gan, _ = gan_losses(d_params, d_sn, fakes, batch, k_gp)
+        loss_g_gan, _, new_sn = gan_losses(d_params, d_sn, fakes, batch, k_gp,
+                                           capture_sn=cfg.spectral_norm)
         recon = smooth_l1(fakes, batch["images"])
         loss_g = (loss_g_gan + cfg.coeff_l1 * recon
                   + fc_weight_decay_loss(g_params))
@@ -204,15 +216,7 @@ def make_fg_gan_train_step(cfg: FGGanConfig, donate: bool = True,
             from ..models.inception_v4 import perceptual_loss
             loss_g = loss_g + cfg.coeff_perceptual * perceptual_loss(
                 perceptual_params, batch["images"], fakes)
-        return loss_g, recon
-
-    def sn_refresh(d_params, d_sn, batch):
-        """One power iteration per step, applied at the G update
-        (the reference's control-dependency placement)."""
-        _, _, new_sn = disc_apply(d_params, d_sn, batch["sketches"],
-                                  batch["images_d"], batch["class_id_d"],
-                                  mutable=True)
-        return new_sn
+        return loss_g, (recon, new_sn)
 
     def step(state: FGGanTrainState, batch_d, batch_g, rng):
         k_d, k_g = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -230,15 +234,14 @@ def make_fg_gan_train_step(cfg: FGGanConfig, donate: bool = True,
                                                   d_params)
             d_params = optax.apply_updates(d_params, d_updates)
 
-        # ---- G update (against the updated D) ----
-        (loss_g, recon), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        # ---- G update (against the updated D); its real-image D pass also
+        # advances the spectral-norm power iteration ----
+        (loss_g, (recon, d_sn)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(
             state.g_params, d_params, state.d_sn, batch_g, k_g)
         g_updates, g_opt_state = opt_g.update(g_grads, state.g_opt_state,
                                               state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
-
-        d_sn = (sn_refresh(d_params, state.d_sn, batch_g)
-                if cfg.spectral_norm else state.d_sn)
 
         nan = jnp.logical_or(jnp.isnan(loss_d), jnp.isnan(loss_g))
         new_state = FGGanTrainState(

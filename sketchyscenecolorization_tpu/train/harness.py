@@ -57,12 +57,17 @@ class _ProfileWindow:
 
 
 
-def _resume(state, ckpt_dir: str):
+def _resume(state, ckpt_dir: str, mesh=None):
     found = latest_checkpoint(ckpt_dir) if ckpt_dir else None
-    if found is None:
-        return state, 0
-    step, path = found
-    return restore_checkpoint(path, state), step
+    if found is not None:
+        step, path = found
+        state = restore_checkpoint(path, state)
+    else:
+        step = 0
+    if mesh is not None:
+        from ..parallel import replicate
+        state = replicate(state, mesh)
+    return state, step
 
 
 def train_matching(cfg: MatchingConfig, dataset: MatchingTrainDataset,
@@ -75,7 +80,7 @@ def train_matching(cfg: MatchingConfig, dataset: MatchingTrainDataset,
     max_iters = max_iters or cfg.max_iters
     ckpt_dir = os.path.join(run_dir, "snapshots")
     state = create_matching_state(init_params, cfg)
-    state, start = _resume(state, ckpt_dir)
+    state, start = _resume(state, ckpt_dir, mesh)
     count_params(state.params["text_sketchyscene"], "text_sketchyscene")
 
     step_fn = make_matching_train_step(cfg)
@@ -176,7 +181,7 @@ def train_fg_gan(cfg: FGGanConfig, dataset: FGPairedDataset, run_dir: str,
     max_iters = max_iters or cfg.max_iters
     ckpt_dir = os.path.join(run_dir, "snapshot")
     state = create_fg_gan_state(jax.random.PRNGKey(seed), cfg)
-    state, start = _resume(state, ckpt_dir)
+    state, start = _resume(state, ckpt_dir, mesh)
     if start == 0:
         count_params(state.g_params, "generator")
         count_params(state.d_params, "discriminator")
@@ -199,6 +204,8 @@ def train_fg_gan(cfg: FGGanConfig, dataset: FGPairedDataset, run_dir: str,
         i += 1
         if watchdog.check(metrics, i):
             print(f"NaN at iter {i}; aborting with status -1")
+            gen_d.close()
+            gen_g.close()
             writer.close()
             return -1
         if i % log_every == 0 or i == max_iters:
@@ -220,7 +227,7 @@ def train_bg_gan(cfg: BGGanConfig, dataset: BGDataset, run_dir: str,
     max_steps = max_steps or cfg.max_steps
     ckpt_dir = os.path.join(run_dir, "snapshot")
     state = create_bg_gan_state(jax.random.PRNGKey(seed), cfg)
-    state, start = _resume(state, ckpt_dir)
+    state, start = _resume(state, ckpt_dir, mesh)
     if start == 0:
         count_params(state.g_params, "generator")
         count_params(state.d_params, "discriminator")

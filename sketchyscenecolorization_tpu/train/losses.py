@@ -169,12 +169,18 @@ def region_softmax_xent(region_logits, labels):
     return -jnp.mean(picked)
 
 
+def bg_discrim_loss(predict_real, predict_fake, eps: float = 1e-12):
+    """Non-saturating log D loss on sigmoid maps (``bg main :637-641``)."""
+    return jnp.mean(-(jnp.log(predict_real + eps)
+                      + jnp.log(1.0 - predict_fake + eps)))
+
+
 def bg_gan_losses(predict_real, predict_fake, targets, outputs, region_logits,
                   labels, gan_weight=1.0, l1_weight=100.0, seg_weight=100.0,
                   eps=1e-12) -> Dict[str, jnp.ndarray]:
     """Full BG loss set (``bg_colorization_main.py:637-656``).  The
     discriminators output sigmoid probabilities, hence the log form."""
-    discrim_loss = jnp.mean(-(jnp.log(predict_real + eps) + jnp.log(1.0 - predict_fake + eps)))
+    discrim_loss = bg_discrim_loss(predict_real, predict_fake, eps)
     gen_loss_gan = jnp.mean(-jnp.log(predict_fake + eps))
     gen_loss_l1 = masked_l1_loss(targets, outputs, labels)
     region_loss = region_softmax_xent(region_logits, labels)
