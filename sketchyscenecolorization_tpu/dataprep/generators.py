@@ -151,10 +151,19 @@ def fg_data_preparation(data_base_dir: str, splits: Sequence[str],
                 indices.append(colorization_encode(e["color_text"], vocab,
                                                    text_len))
             path = os.path.join(out_dir, f"{category}.npz")
-            write_record_shard(path, names, np.stack(cartoons),
-                               np.stack(sketches), category,
+            if names:
+                cartoons_arr = np.stack(cartoons)
+                sketches_arr = np.stack(sketches)
+                indices_arr = np.asarray(indices, np.uint8)
+            else:  # empty split for this category -> empty shard (like the
+                   # reference's empty TFRecord)
+                cartoons_arr = np.zeros((0, 384, 384, 3), np.uint8)
+                sketches_arr = np.zeros((0, 384, 384, 3), np.uint8)
+                indices_arr = np.zeros((0, text_len), np.uint8)
+            write_record_shard(path, names, cartoons_arr, sketches_arr,
+                               category,
                                np.full((len(names),), category_id, np.int32),
-                               texts, np.asarray(indices, np.uint8))
+                               texts, indices_arr)
             written.append(path)
     return written
 
@@ -173,14 +182,18 @@ def bg_caption(sky: str, ground: str) -> str:
 
 
 def verify_bg_blue_green(bg_img: np.ndarray, mask: np.ndarray) -> bool:
-    """Default paint must be blue sky / green ground (sampled check like the
-    reference's ``is_bg_color_blue_and_green``, made exhaustive): some bg
-    pixel on the top row is blue is NOT required -- the reference only
-    requires the bottom-row sample to be green, keep that."""
+    """Deterministic version of the reference's sampled
+    ``is_bg_color_blue_and_green`` check: it fails only when a top-row bg
+    sample is NOT blue while the bottom-row sample IS green (its retry
+    condition, ``bg_data_generation.py:28-37``); anything else passes."""
+    blue = np.array(BG_COLOR_MAP["blue"])
+    green = np.array(BG_COLOR_MAP["green"])
+    top = bg_img[0][mask[0] == 255]
     bottom = bg_img[-1][mask[-1] == 255]
-    if len(bottom) == 0:
-        return False
-    return bool((bottom == np.array(BG_COLOR_MAP["green"])).all(axis=1).any())
+    top_has_blue = len(top) > 0 and bool((top == blue).all(axis=1).any())
+    bottom_has_green = (len(bottom) > 0
+                        and bool((bottom == green).all(axis=1).any()))
+    return not (not top_has_blue and bottom_has_green)
 
 
 def bg_data_generation(data_base_dir: str, aug_num: int = 3,

@@ -248,15 +248,33 @@ def apply(params: Params, cfg: MatchingConfig,
           words: jnp.ndarray,         # [N, T] int32 (end-padded)
           seq_len: jnp.ndarray,       # [N] int32
           ) -> RMIOutputs:
+    visual_norm = extract_visual(params, cfg, images)
+    return apply_fused(params, cfg, visual_norm, words, seq_len)
+
+
+def extract_visual(params: Params, cfg: MatchingConfig,
+                   images: jnp.ndarray) -> jnp.ndarray:
+    """Backbone + 1x1 projection + L2 norm: the instruction-independent half
+    of the model ([N, h, w, v_emb])."""
     scope, _, bb_apply, _ = _backbone(cfg)
     feat = bb_apply(params[scope], images, cfg.compute_dtype)
     text = params["text_sketchyscene"]
-
     visual = conv2d(feat, text["visual_feat_projection"]["DW"]) \
         + text["visual_feat_projection"]["biases"]
-    visual_norm = l2_normalize(visual, axis=-1)
+    return l2_normalize(visual, axis=-1)
 
-    n = images.shape[0]
+
+def apply_fused(params: Params, cfg: MatchingConfig,
+                visual_norm: jnp.ndarray,   # [Nv, h, w, v_emb], Nv in {1, N}
+                words: jnp.ndarray, seq_len: jnp.ndarray) -> RMIOutputs:
+    """Instruction-dependent half.  ``visual_norm`` may carry batch 1 for N
+    instructions against one sketch (batched serving): every layer is
+    batch-independent, so broadcasting is bitwise-equal to recomputing."""
+    text = params["text_sketchyscene"]
+    n = words.shape[0]
+    if visual_norm.shape[0] != n:
+        visual_norm = jnp.broadcast_to(visual_norm,
+                                       (n, *visual_norm.shape[1:]))
     spatial = jnp.asarray(generate_spatial_batch(n, cfg.vf_h, cfg.vf_w))
     emb = text["embedding"][words]                               # [N, T, w_emb]
     w_out, _ = masked_lstm_scan(emb, seq_len, text["wLSTM"]["w"],

@@ -99,12 +99,14 @@ def hsv2rgb(hsv: np.ndarray) -> np.ndarray:
 
 def thicken_drawings(image: np.ndarray) -> np.ndarray:
     """Dilate strokes with a 2x2 square (used for grass instances).
-    Equivalent to skimage ``dilation(x, square(2))``: max over the window
-    [i-1:i+1, j-1:j+1] (even footprints anchor at size//2)."""
+    skimage ``dilation(x, square(2))`` delegates to ``grey_dilation``, whose
+    even footprint anchors so the output at i takes the max over
+    [i : i+2) -- ``maximum_filter`` needs origin=-1 to match (verified
+    empirically against grey_dilation)."""
     img = np.array(image[:, :, 0], dtype=np.uint8)
     inv = 255 - img
     dilated_inv = scipy.ndimage.maximum_filter(
-        inv, footprint=np.ones((2, 2), bool), mode="constant")
+        inv, footprint=np.ones((2, 2), bool), mode="constant", origin=-1)
     dilated = 255 - dilated_inv
     return np.repeat(dilated[:, :, None], 3, axis=2)
 

@@ -41,6 +41,18 @@ class MatchingEngine:
             return rmi.apply(params, cfg, image, words, seq_len).up
         self._forward = forward
 
+        # batched serving: run the instruction-independent backbone ONCE per
+        # sketch, then fuse N instructions against the broadcast features
+        @jax.jit
+        def extract(params, image):
+            return rmi.extract_visual(params, cfg, image)
+
+        @jax.jit
+        def fuse(params, visual_norm, words, seq_len):
+            return rmi.apply_fused(params, cfg, visual_norm, words, seq_len).up
+        self._extract = extract
+        self._fuse = fuse
+
     def predict_mask(self, sketch_image_uint8: np.ndarray,
                      input_text: str) -> np.ndarray:
         """uint8 [768,768,3] sketch + instruction -> binary {0,1} mask
@@ -66,9 +78,9 @@ class MatchingEngine:
             idx, ln = matching_encode(text, self.vocab, self.cfg.max_len)
             words[i] = idx
             lens[i] = ln
-        images = np.broadcast_to(image, (n, *image.shape))
-        up = np.asarray(self._forward(self.params, jnp.asarray(images),
-                                      jnp.asarray(words), jnp.asarray(lens)))
+        visual = self._extract(self.params, jnp.asarray(image[None]))
+        up = np.asarray(self._fuse(self.params, visual,
+                                   jnp.asarray(words), jnp.asarray(lens)))
         predicts = (up[..., 0] >= self.score_thresh).astype(np.float32)
         return predicts * bin_drawing[None]
 
@@ -126,8 +138,9 @@ class BGColorizeEngine:
             else:                            # pix2pix: no region branch
                 out = result
                 labels = jnp.zeros(out.shape[:3], jnp.int32)
-            # deprocess + uint8 saturate (bg main :29-38)
-            out = jnp.clip((out + 1.0) / 2.0 * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+            # deprocess + uint8 (bg main :29-38): TF convert_image_dtype
+            # multiplies by dtype.max + 0.5 then saturate-casts (truncation)
+            out = jnp.clip((out + 1.0) / 2.0 * 255.5, 0, 255).astype(jnp.uint8)
             return out, labels
         self._forward = forward
 

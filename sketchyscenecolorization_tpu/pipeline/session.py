@@ -66,7 +66,6 @@ class ColorizationSession:
         """One 'color' command; returns the path of the new result image."""
         assert input_text
         colorization_type = judge_colorize_type(input_text)
-        paths = self._paths(image_id)
         new_name, last_name, last_bg_text, summary = fetch_records(
             image_id, self.cfg.pipeline.results_base_dir)
 
