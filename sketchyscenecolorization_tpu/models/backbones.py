@@ -268,6 +268,21 @@ def _sep_conv_init(key, cin, cout):
     }
 
 
+def _conv2d_same(x, w, stride, compute_dtype=None):
+    """slim ``conv2d_same`` for stride > 1: explicit symmetric pad then
+    VALID (centers at 0, 2, 4, ... -- aligned with the subsampled shortcut),
+    unlike XLA/TF 'SAME' which pads (0, 1) here."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    return lax.conv_general_dilated(
+        x, w, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
 def _depthwise_conv(x, w, rate=1, compute_dtype=None):
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -336,8 +351,11 @@ class deeplab_v3plus:
     @staticmethod
     def _unit(x, up, stride, rate, compute_dtype):
         def cbr(y, q, k_rate=1, k_stride=1, relu=True):
-            y = conv2d(y, q["DW"], stride=k_stride, rate=k_rate,
-                       compute_dtype=compute_dtype)
+            if k_stride > 1 and q["DW"].shape[0] > 1:
+                y = _conv2d_same(y, q["DW"], k_stride, compute_dtype)
+            else:
+                y = conv2d(y, q["DW"], stride=k_stride, rate=k_rate,
+                           compute_dtype=compute_dtype)
             y = _bn_apply(y, q["bn"])
             return jnp.maximum(y, 0.0) if relu else y
         shortcut = x
@@ -356,13 +374,14 @@ class deeplab_v3plus:
         cd = jnp.bfloat16 if compute_dtype in ("bfloat16", jnp.bfloat16) else None
         p = params[deeplab_v3plus.SCOPE]
         r = p["root"]
-        x = conv2d(images, r["conv1_1"]["DW"], stride=2, compute_dtype=cd)
+        x = _conv2d_same(images, r["conv1_1"]["DW"], 2, cd)
         x = jnp.maximum(_bn_apply(x, r["conv1_1"]["bn"]), 0.0)
         x = conv2d(x, r["conv1_2"]["DW"], compute_dtype=cd)
         x = jnp.maximum(_bn_apply(x, r["conv1_2"]["bn"]), 0.0)
         x = conv2d(x, r["conv1_3"]["DW"], compute_dtype=cd)
         x = jnp.maximum(_bn_apply(x, r["conv1_3"]["bn"]), 0.0)
-        x = _max_pool_2x2(x)                                   # OS 4
+        from ..ops.conv import max_pool_3x3_s2
+        x = max_pool_3x3_s2(x)                                 # OS 4 (slim pool1: 3x3/2 SAME)
 
         low_level = None
         # slim stack_blocks_dense at output_stride 8: the root reaches OS 4,

@@ -53,13 +53,10 @@ class MRUConvBlockV3(nn.Module):
     sn: bool
     num_classes: Optional[int]
     activation: str
-    deconv: bool = False
 
     @nn.compact
     def __call__(self, inp, ht, labels):
         hidden_depth = ht.shape[-1]
-        if self.deconv and self.stride == 2:
-            ht = nn_upsample_2x(ht)
         ht_orig = ht
 
         ht_na = NormAct(self.num_classes, self.activation, name="norm_activation_in")(ht, labels)
@@ -86,7 +83,7 @@ class MRUConvBlockV3(nn.Module):
             ht_orig = SNConv(self.filter_depth, 1, sn=self.sn, name="ht_proj")(ht_orig)
         ht_new = ht_orig + h_new
 
-        if not self.deconv and self.stride == 2:
+        if self.stride == 2:
             ht_new = mean_pool_2x2(ht_new)
         return ht_new
 
@@ -234,7 +231,11 @@ class MRUGenerator(nn.Module):
         # ---- encoder (``image_encoder_mru``) ----
         h0 = SNConv(8, 7, stride=2, sn=sn, name="enc_h0")(x_list[-1])
         z_encoded = [h0]
-        hts = [h0]
+        hts = [h0] + [
+            jnp.broadcast_to(self.param(f"initial_hidden_state_{i}",
+                                        nn.initializers.zeros,
+                                        (1, *h0.shape[1:])), h0.shape)
+            for i in range(1, self.num_blocks)]
         for i, (feat, inp) in enumerate(zip(
                 [size, size * 2, size * 4, size * 8],
                 [x_list[-2], x_list[-3], x_list[-4], x_list[-5]])):
@@ -262,7 +263,12 @@ class MRUGenerator(nn.Module):
         noise = jnp.transpose(noise, (0, 2, 3, 1))  # NCHW layout in ref -> NHWC
 
         # ---- decoder: 5 MRU-deconv stages with sketch re-injection ----
-        hts = [feat_final]
+        hts = [feat_final] + [
+            jnp.broadcast_to(self.param(f"initial_decoder_state_{i}",
+                                        nn.initializers.zeros,
+                                        (1, *feat_final.shape[1:])),
+                             feat_final.shape)
+            for i in range(1, self.num_blocks)]
         dec_specs = [
             (size * 6, jnp.concatenate([resized_z[1], noise], axis=-1)),
             (size * 4, jnp.concatenate([resized_z[2], z_encoded[-3]], axis=-1)),
@@ -306,7 +312,11 @@ class MRUDiscriminator(nn.Module):
 
         h0 = SNConv(8, 7, stride=1, sn=self.sn, activation="prelu",
                     name="h0")(x_list[-1])
-        hts = [h0]
+        hts = [h0] + [
+            jnp.broadcast_to(self.param(f"initial_hidden_state_{i}",
+                                        nn.initializers.zeros,
+                                        (1, *h0.shape[1:])), h0.shape)
+            for i in range(1, self.num_blocks)]
         for i, (feat, inp) in enumerate(zip(
                 [size * 2, size * 4, size * 8, size * 12],
                 [x_list[-1], x_list[-2], x_list[-3], x_list[-4]])):

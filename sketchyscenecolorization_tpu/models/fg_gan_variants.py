@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 from ..ops.activations import lrelu
 from .bg_gan import (
-    BottleneckResidualDe, BottleneckResidualEn, BottleneckResidualPu, Conv,
-    ConvEx, Deconv,
+    NUM_RESIDUAL_UNITS, BottleneckResidualDe, BottleneckResidualEn,
+    BottleneckResidualPu, Conv, ConvEx, Deconv,
 )
 from .gan_layers import BatchStatsNorm, SNDense, TextFusionLSTM
 

@@ -127,11 +127,8 @@ class CondBatchNorm(nn.Module):
         c = x.shape[-1]
         offset_m = self.param("offset", nn.initializers.zeros, (self.n_labels, c))
         scale_m = self.param("scale", nn.initializers.ones, (self.n_labels, c))
-        mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-        var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
-        offset = offset_m[labels][:, None, None, :]
-        scale = scale_m[labels][:, None, None, :]
-        return (x - mean) / jnp.sqrt(var + 1e-5) * scale + offset
+        from ..ops.norm import conditional_batch_stats_norm
+        return conditional_batch_stats_norm(x, labels, offset_m, scale_m)
 
 
 class BatchStatsNorm(nn.Module):
@@ -143,17 +140,18 @@ class BatchStatsNorm(nn.Module):
         offset = self.param("offset", nn.initializers.zeros, (c,))
         scale = self.param("scale",
                            lambda k, s: 1.0 + 0.02 * jax.random.normal(k, s), (c,))
-        mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-        var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
-        return (x - mean) / jnp.sqrt(var + 1e-5) * scale + offset
+        from ..ops.norm import batch_stats_norm
+        return batch_stats_norm(x, offset, scale)
 
 
-def minmax_normalize(x):
+def minmax_normalize(x, eps: float = 1e-12):
     """(x - min)/(max - min) over spatial dims, per (batch, channel) --
-    the LReLU-gate normalization (``mru.py:312-321,560-569``)."""
+    the LReLU-gate normalization (``mru.py:312-321,560-569``).  The eps
+    guards the degenerate spatially-constant map (0/0 -> NaN would poison
+    training; the reference shares the hazard, the guard is free)."""
     mn = jnp.min(x, axis=(1, 2), keepdims=True)
     mx = jnp.max(x, axis=(1, 2), keepdims=True)
-    return (x - mn) / (mx - mn)
+    return (x - mn) / (mx - mn + eps)
 
 
 class TextFusionLSTM(nn.Module):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -50,9 +51,11 @@ def conditional_batch_stats_norm(x, labels, offset_table, scale_table, eps: floa
 
 
 def l2_normalize(x, axis: int = -1, eps: float = 1e-12):
-    """tf.nn.l2_normalize: x / max(||x||_2, eps) along axis."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    """tf.nn.l2_normalize: x * rsqrt(max(sum(x^2), eps)) along axis
+    (the eps floors the SQUARED norm, i.e. an effective norm floor of
+    sqrt(eps) -- not a floor on the norm itself)."""
+    sum_sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sum_sq, eps))
 
 
 def _sn_l2norm(v, eps: float = 1e-12):

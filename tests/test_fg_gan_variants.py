@@ -53,3 +53,19 @@ def test_variant_generator_output_shape(block_type):
         jnp.zeros((cfg.batch_size, cfg.noise_dim), jnp.float32))
     assert out.shape == (cfg.batch_size, cfg.image_size, cfg.image_size, 3)
     assert float(jnp.max(jnp.abs(out))) <= 1.0
+
+
+def test_mru_num_blocks_2_runs():
+    """num_blocks > 1 seeds the extra MRU cells with learnable initial
+    states (review fix: length-1 hts list crashed)."""
+    cfg = dataclasses.replace(BASE, num_blocks=2)
+    from sketchyscenecolorization_tpu.train import (
+        create_fg_gan_state, make_fg_gan_train_step)
+    state = create_fg_gan_state(jax.random.PRNGKey(0), cfg)
+    step = make_fg_gan_train_step(cfg, donate=False)
+    s1, metrics = step(state, _batch(cfg), _batch(cfg, 1),
+                       jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss_g"]))
+    assert any("initial_hidden_state" in "/".join(map(str, p))
+               for p, _ in jax.tree_util.tree_flatten_with_path(
+                   state.g_params)[0])
