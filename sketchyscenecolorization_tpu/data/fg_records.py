@@ -22,6 +22,8 @@ import numpy as np
 import scipy.ndimage
 from PIL import Image
 
+from .im_ops import _resize_float
+
 RAW_SIZE = 384
 TEXT_LEN = 15
 
@@ -54,10 +56,22 @@ def _binarize(sketch: np.ndarray, threshold: float = 250.0) -> np.ndarray:
 
 
 def _resize(img: np.ndarray, size: int, method) -> np.ndarray:
-    chans = [np.array(Image.fromarray(img[..., c].astype(np.float32), "F")
-                      .resize((size, size), resample=method))
-             for c in range(img.shape[-1])]
-    return np.stack(chans, axis=-1)
+    return _resize_float(img, size, size, method)
+
+
+def preprocess_image(cartoon_u8: np.ndarray, img_size: int,
+                     rng: Optional[np.random.RandomState] = None
+                     ) -> np.ndarray:
+    """Cartoon-only preprocessing (used alone for the D batch, whose sketch
+    would be discarded)."""
+    image = cartoon_u8.astype(np.float32)
+    if image.shape[0] != img_size:
+        image = _resize(image, img_size, Image.BILINEAR)
+    lo, hi = image.min(), image.max()
+    image = (image - lo) / (hi - lo + 1.0)
+    if rng is not None:
+        image = image + rng.uniform(0.0, 1.0 / 256, image.shape).astype(np.float32)
+    return image * 2.0 - 1.0
 
 
 def preprocess_pair(cartoon_u8: np.ndarray, sketch_u8: np.ndarray,
@@ -65,21 +79,16 @@ def preprocess_pair(cartoon_u8: np.ndarray, sketch_u8: np.ndarray,
                     rng: Optional[np.random.RandomState] = None
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """One (image, sketch) pair -> float32 [-1,1] NHWC at img_size."""
-    image = cartoon_u8.astype(np.float32)
     sketch = sketch_u8.astype(np.float32)
     if distance_map:
         sketch = _binarize(sketch)
         sketch = scipy.ndimage.distance_transform_edt(sketch).astype(np.float32)
         sketch = sketch / max(sketch.max(), 1e-6) * 255.0
-    if image.shape[0] != img_size:
-        image = _resize(image, img_size, Image.BILINEAR)
+    if sketch.shape[0] != img_size:
         sketch = _resize(sketch, img_size, Image.BOX)   # AREA == box filter
-    lo, hi = image.min(), image.max()
-    image = (image - lo) / (hi - lo + 1.0)
-    if rng is not None:
-        image = image + rng.uniform(0.0, 1.0 / 256, image.shape).astype(np.float32)
+    image = preprocess_image(cartoon_u8, img_size, rng)
     sketch = sketch / 255.0
-    return image * 2.0 - 1.0, sketch * 2.0 - 1.0
+    return image, sketch * 2.0 - 1.0
 
 
 class FGPairedDataset:
@@ -118,11 +127,9 @@ class FGPairedDataset:
             sketches.append(sk)
         images_d = []
         for k, i in enumerate(idx_d):
-            img, _ = preprocess_pair(self.cartoons[i], self.sketches[i],
-                                     self.img_size, self.distance_map,
-                                     np.random.RandomState(
-                                         noise[self.batch_size + k]))
-            images_d.append(img)
+            images_d.append(preprocess_image(
+                self.cartoons[i], self.img_size,
+                np.random.RandomState(noise[self.batch_size + k])))
         return {
             "images": np.stack(images).astype(np.float32),
             "sketches": np.stack(sketches).astype(np.float32),

@@ -26,11 +26,11 @@ IMAGE_SIZE = 768
 def load_sketch_image(image_path: str, dtype=np.float32,
                       size: int = IMAGE_SIZE) -> np.ndarray:
     """PNG -> [size, size, 3] array, NEAREST resize if needed
-    (reference sketch_data_processing.py:24-29)."""
-    image = Image.open(image_path).convert("RGB")
-    if image.width != size or image.height != size:
-        image = image.resize((size, size), resample=Image.NEAREST)
-    return np.array(image, dtype=dtype)
+    (reference sketch_data_processing.py:24-29).  Shared with the training
+    loader (``data/matching_dataset.py``) so pipeline-time and train-time
+    sketches cannot diverge."""
+    from .matching_dataset import _load_image_path
+    return _load_image_path(image_path, size=size).astype(dtype)
 
 
 def load_inner_mask(mat_path: str) -> np.ndarray:

@@ -12,14 +12,15 @@ import numpy as np
 from PIL import Image
 
 
-def _resize_float(im: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Bilinear resize of a float (or castable) array, channelwise."""
+def _resize_float(im: np.ndarray, out_h: int, out_w: int,
+                  method=Image.BILINEAR) -> np.ndarray:
+    """Channelwise float resize via PIL (bilinear by default; BOX = AREA)."""
     im = np.asarray(im, dtype=np.float32)
     if im.ndim == 2:
         return np.array(Image.fromarray(im, mode="F").resize(
-            (out_w, out_h), resample=Image.BILINEAR))
+            (out_w, out_h), resample=method))
     chans = [np.array(Image.fromarray(im[..., c], mode="F").resize(
-        (out_w, out_h), resample=Image.BILINEAR)) for c in range(im.shape[-1])]
+        (out_w, out_h), resample=method)) for c in range(im.shape[-1])]
     return np.stack(chans, axis=-1)
 
 

@@ -39,10 +39,11 @@ def load_image(image_dir: str, image_id) -> np.ndarray:
     return _load_image_path(path)
 
 
-def _load_image_path(path: str) -> np.ndarray:
+def _load_image_path(path: str, size: int = None) -> np.ndarray:
+    size = size or IMAGE_SIZE
     image = Image.open(path).convert("RGB")
-    if image.width != IMAGE_SIZE or image.height != IMAGE_SIZE:
-        image = image.resize((IMAGE_SIZE, IMAGE_SIZE), resample=Image.NEAREST)
+    if image.width != size or image.height != size:
+        image = image.resize((size, size), resample=Image.NEAREST)
     return np.array(image, dtype=np.float32)
 
 

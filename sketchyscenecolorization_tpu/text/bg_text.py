@@ -7,10 +7,10 @@ text recorded in the session.
 """
 from __future__ import annotations
 
-import re
 from typing import List
 
-_SPLIT = re.compile(r"(\W+)")
+from .tokenizer import _split_words
+
 
 INPUT_TEXT_TYPES = ["None", "ground", "sky", "both"]
 ALL_COLOR = ["blue", "green", "cyan", "red", "orange", "yellow", "brown",
@@ -19,8 +19,7 @@ DEFAULT_BG_TEXT = "the sky is blue and the ground is green"
 
 
 def _words(text: str) -> List[str]:
-    ws = _SPLIT.split(text.strip())
-    return [w.lower() for w in ws if len(w.strip()) > 0]
+    return _split_words(text, drop_dash=False)
 
 
 def get_text_type(text: str) -> str:

@@ -82,8 +82,21 @@ def matching_name_map(cfg: Optional[MatchingConfig] = None
     m[f"{t}/embedding"] = (t, "embedding")
     m[f"{t}/wLSTM/lstm_cell/kernel"] = (t, "wLSTM", "w")
     m[f"{t}/wLSTM/lstm_cell/bias"] = (t, "wLSTM", "b")
-    m[f"{t}/mLSTM/lstm_cell/kernel"] = (t, "mLSTM", "w")
-    m[f"{t}/mLSTM/lstm_cell/bias"] = (t, "mLSTM", "b")
+    if cfg.fusion_type == "RecurAttn":
+        # ``Recurrent_Attn`` scope (RMI_model.py:224-273): MultiRNNCell mLSTM
+        # plus the h->word projection
+        ra = f"{t}/Recurrent_Attn"
+        cell = "multi_rnn_cell/cell_0/lstm_cell"
+        m[f"{ra}/mLSTM/{cell}/kernel"] = (t, "mLSTM", "w")
+        m[f"{ra}/mLSTM/{cell}/bias"] = (t, "mLSTM", "b")
+        m[f"{ra}/h_proj/DW"] = (t, "h_proj", "DW")
+        m[f"{ra}/h_proj/biases"] = (t, "h_proj", "biases")
+    else:
+        m[f"{t}/mLSTM/lstm_cell/kernel"] = (t, "mLSTM", "w")
+        m[f"{t}/mLSTM/lstm_cell/bias"] = (t, "mLSTM", "b")
+    if cfg.use_attn:
+        m[f"{t}/attn_fc/DW"] = (t, "attn_fc", "DW")
+        m[f"{t}/attn_fc/biases"] = (t, "attn_fc", "biases")
     m[f"{t}/m_lstm_output_projection/DW"] = \
         (t, "m_lstm_output_projection", "DW")
     m[f"{t}/m_lstm_output_projection/biases"] = \
@@ -323,11 +336,12 @@ def fg_generator_name_map(g_params: Params) -> Dict[str, Tuple[str, ...]]:
             ("enc_stage_4", "last_norm", "CondBatchNorm_0", leaf)
 
     t = f"{g}/TextLSTM"
+    cell = "multi_rnn_cell/cell_0/basic_lstm_cell"
     m[f"{t}/embedding"] = ("TextLSTM", "embedding")
-    m[f"{t}/RNN/WLSTM/basic_lstm_cell/kernel"] = ("TextLSTM", "wlstm_w")
-    m[f"{t}/RNN/WLSTM/basic_lstm_cell/bias"] = ("TextLSTM", "wlstm_b")
-    m[f"{t}/RNN/ALSTM/basic_lstm_cell/kernel"] = ("TextLSTM", "alstm_w")
-    m[f"{t}/RNN/ALSTM/basic_lstm_cell/bias"] = ("TextLSTM", "alstm_b")
+    m[f"{t}/RNN/WLSTM/{cell}/kernel"] = ("TextLSTM", "wlstm_w")
+    m[f"{t}/RNN/WLSTM/{cell}/bias"] = ("TextLSTM", "wlstm_b")
+    m[f"{t}/RNN/ALSTM/{cell}/kernel"] = ("TextLSTM", "alstm_w")
+    m[f"{t}/RNN/ALSTM/{cell}/bias"] = ("TextLSTM", "alstm_b")
 
     for leaf in ("weights", "biases"):
         m[f"{g}/fully_connected/{leaf}"] = ("noise_fc", leaf)
