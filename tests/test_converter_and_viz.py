@@ -154,3 +154,20 @@ def test_fg_discriminator_map_covers_flax_tree():
     for col in ("params", "sn"):
         for p, leaf in _flatten(converted[col]).items():
             np.testing.assert_array_equal(leaf, flat[(col,) + p])
+
+
+def test_matching_map_covers_alt_fusion_trees():
+    """use_attn and RecurAttn variants map all their extra variables
+    (attn_fc, Recurrent_Attn h_proj / MultiRNN mLSTM)."""
+    for kwargs in ({"use_attn": True}, {"fusion_type": "RecurAttn"}):
+        cfg = MatchingConfig(vf_h=6, vf_w=6, H=48, W=48, vocab_size=12,
+                             w_emb_dim=16, v_emb_dim=16, m_rnn_size=8,
+                             w_rnn_size=16, max_len=5, **kwargs)
+        params = rmi.init_params(jax.random.PRNGKey(0), cfg)
+        flat = _flatten(params)
+        name_map = matching_name_map(cfg)
+        assert set(name_map.values()) == set(flat.keys()), kwargs
+        tf_vars = {n: flat[p] for n, p in name_map.items()}
+        converted = convert_matching(tf_vars, cfg, strict=True)
+        for path, leaf in _flatten(converted).items():
+            np.testing.assert_array_equal(leaf, flat[path])
