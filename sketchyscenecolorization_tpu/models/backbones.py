@@ -399,6 +399,13 @@ class deeplab_v3plus:
                 if b == 1 and u == 1:
                     low_level = conv3_out        # block1/unit_2 conv3
 
+        if intermediate:
+            # the reference's is_intermediate path exits with the *pre-ASPP*
+            # backbone output (``deeplab_v3plus_model.py:568-583``), which is
+            # what the RMI model consumes -- "(1, 96, 96, 2048)"
+            # (``RMI_model.py:105-109``)
+            return x                              # [N, H/8, W/8, 2048]
+
         # ASPP
         a = p["aspp"]
         h, w = x.shape[1:3]
@@ -414,8 +421,6 @@ class deeplab_v3plus:
         y = jnp.concatenate(branches, axis=-1)
         y = conv2d(y, a["concat_projection"]["DW"], compute_dtype=cd)
         features = jnp.maximum(_bn_apply(y, a["concat_projection"]["bn"]), 0.0)
-        if intermediate:
-            return features                       # [N, H/8, W/8, 256]
 
         # decoder to OS 4
         d = p["decoder"]

@@ -54,7 +54,9 @@ def _backbone(cfg: "MatchingConfig"):
     from . import backbones
     mod = {"fcn_8s": backbones.fcn8s, "segnet": backbones.segnet,
            "deeplab_v3plus": backbones.deeplab_v3plus}[cfg.backbone]
-    dim = {"fcn_8s": 256, "segnet": 512, "deeplab_v3plus": 256}[cfg.backbone]
+    # v3plus intermediate = pre-ASPP backbone output, "(1, 96, 96, 2048)"
+    # (``RMI_model.py:105-109``, ``deeplab_v3plus_model.py:568-583``)
+    dim = {"fcn_8s": 256, "segnet": 512, "deeplab_v3plus": 2048}[cfg.backbone]
 
     def init(key):
         return mod.init_params(key)[mod.SCOPE]

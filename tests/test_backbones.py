@@ -52,9 +52,11 @@ def test_segnet_shapes():
 def test_deeplab_v3plus_shapes():
     params = deeplab_v3plus.init_params(jax.random.PRNGKey(0), num_classes=5)
     x = jnp.zeros((1, S, S, 3), jnp.float32)
+    # intermediate = pre-ASPP backbone output, 2048-ch -- the reference's RMI
+    # consumes "(1, 96, 96, 2048)" (RMI_model.py:105-109)
     feat = jax.jit(lambda p, v: deeplab_v3plus.apply(p, v, intermediate=True))(
         params, x)
-    assert feat.shape == (1, S // 8, S // 8, 256)
+    assert feat.shape == (1, S // 8, S // 8, 2048)
     logits = jax.jit(lambda p, v: deeplab_v3plus.apply(
         p, v, intermediate=False, num_classes=5))(params, x)
     assert logits.shape == (1, S, S, 5)
@@ -62,6 +64,7 @@ def test_deeplab_v3plus_shapes():
 
 @pytest.mark.parametrize("backbone,scope", [
     ("fcn_8s", "FCN_8s"), ("segnet", "SegNet"),
+    ("deeplab_v3plus", "resnet_v1_101"),
 ])
 def test_rmi_with_alt_backbone(backbone, scope):
     cfg = MatchingConfig(vf_h=S // 8, vf_w=S // 8, H=S, W=S, vocab_size=12,
