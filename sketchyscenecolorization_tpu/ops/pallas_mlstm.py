@@ -29,6 +29,7 @@ training through it gives exactly the scan gradients.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -45,9 +46,12 @@ def _mlstm_kernel(valid_ref, pixel_ref, step_ref, wh_ref, out_ref, *,
                   t_max: int, hidden: int):
     """One (batch, pixel-tile) program: full T-step recurrence in VMEM.
 
-    valid_ref: [1, T] int32 (SMEM); pixel_ref: [1, TILE, 4H];
-    step_ref: [1, T, 4H]; wh_ref: [H, 4H]; out_ref: [1, TILE, H].
+    valid_ref: [N, T] int32 (SMEM, whole array -- a (1, T) block would
+    violate the TPU block-shape rule for N > 1, and N*T scalars fit SMEM
+    trivially); pixel_ref: [1, TILE, 4H]; step_ref: [1, T, 4H];
+    wh_ref: [H, 4H]; out_ref: [1, TILE, H].
     """
+    i_b = pl.program_id(0)
     tile = pixel_ref.shape[1]
     pixel = pixel_ref[0]
     c = jnp.zeros((tile, hidden), jnp.float32)
@@ -56,7 +60,7 @@ def _mlstm_kernel(valid_ref, pixel_ref, step_ref, wh_ref, out_ref, *,
         gates = pixel + step_ref[0, t, :][None, :] + jnp.dot(
             h, wh_ref[:], preferred_element_type=jnp.float32)
         new_c, new_h = lstm_cell(gates, c)
-        keep = valid_ref[0, t] > 0
+        keep = valid_ref[i_b, t] > 0
         c = jnp.where(keep, new_c, c)
         h = jnp.where(keep, new_h, h)
     out_ref[0] = h
@@ -84,7 +88,7 @@ def mlstm_pallas(pixel_term: jnp.ndarray,   # [N, P, 4H] f32
         functools.partial(_mlstm_kernel, t_max=t_max, hidden=hidden),
         grid=(n, num_tiles),
         in_specs=[
-            pl.BlockSpec((1, t_max), lambda i, j: (i, 0),
+            pl.BlockSpec((n, t_max), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tile_p, four_h), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -127,11 +131,172 @@ def mlstm_scan(pixel_term: jnp.ndarray, step_term: jnp.ndarray,
     return h
 
 
+def _mlstm_bwd_kernel(valid_ref, pixel_ref, step_ref, wh_ref, g_ref,
+                      dpix_ref, dstep_ref, dwh_ref, h_stack, c_stack, *,
+                      t_max: int, hidden: int):
+    """Fused BPTT for one (batch, pixel-tile): forward recomputed with the
+    h/c trajectories staged in VMEM scratch, then the reverse sweep runs the
+    T gate-gradient matmuls back-to-back on the MXU.  HBM traffic is one
+    read of ``pixel_term`` + one write of each gradient -- the scan VJP
+    instead round-trips the [P, 2H] carry and re-reads pixel_term on every
+    step of both passes (~3.4 GB per matching train step at full size).
+
+    Gate-gradient algebra matches jax's sigmoid/tanh VJPs exactly, so the
+    gradients agree with the lax.scan formulation to float rounding.
+
+    dstep_ref / dwh_ref are *revisited* output blocks (their index maps
+    ignore the tile -- and for dwh also the batch -- grid dims): the TPU
+    grid runs sequentially on the core, so the kernel zero-initializes them
+    on first visit and accumulates in place, avoiding materialized
+    per-tile partials.
+    """
+    i_b = pl.program_id(0)
+    j_t = pl.program_id(1)
+    tile = pixel_ref.shape[1]
+    pixel = pixel_ref[0]
+    c = jnp.zeros((tile, hidden), jnp.float32)
+    h = jnp.zeros((tile, hidden), jnp.float32)
+    # forward, staging the *previous* state of every step
+    for t in range(t_max):
+        h_stack[t] = h
+        c_stack[t] = c
+        gates = pixel + step_ref[0, t, :][None, :] + jnp.dot(
+            h, wh_ref[:], preferred_element_type=jnp.float32)
+        new_c, new_h = lstm_cell(gates, c)
+        keep = valid_ref[i_b, t] > 0
+        c = jnp.where(keep, new_c, c)
+        h = jnp.where(keep, new_h, h)
+
+    # revisited accumulators: zero on first visit, add in place afterwards
+    @pl.when(j_t == 0)
+    def _init_dstep():
+        dstep_ref[0] = jnp.zeros_like(dstep_ref[0])
+
+    @pl.when(jnp.logical_and(i_b == 0, j_t == 0))
+    def _init_dwh():
+        dwh_ref[...] = jnp.zeros_like(dwh_ref[...])
+
+    dh = g_ref[0]
+    dc = jnp.zeros((tile, hidden), jnp.float32)
+    dpix = jnp.zeros((tile, 4 * hidden), jnp.float32)
+    dwh = jnp.zeros((hidden, 4 * hidden), jnp.float32)
+    dstep_rows = []                      # built T-1..0, stacked reversed
+    for t in range(t_max - 1, -1, -1):
+        keep = valid_ref[i_b, t] > 0
+        h_prev = h_stack[t]
+        c_prev = c_stack[t]
+        gates = pixel + step_ref[0, t, :][None, :] + jnp.dot(
+            h_prev, wh_ref[:], preferred_element_type=jnp.float32)
+        i, j, f, o = (gates[:, k * hidden:(k + 1) * hidden] for k in range(4))
+        si = jax.nn.sigmoid(i)
+        tj = jnp.tanh(j)
+        sf = jax.nn.sigmoid(f + 1.0)
+        so = jax.nn.sigmoid(o)
+        c_t = c_prev * sf + si * tj
+        tc = jnp.tanh(c_t)
+
+        do = dh * tc * so * (1.0 - so)
+        dct = dc + dh * so * (1.0 - tc * tc)
+        df = dct * c_prev * sf * (1.0 - sf)
+        di = dct * tj * si * (1.0 - si)
+        dj = dct * si * (1.0 - tj * tj)
+        dgates = jnp.concatenate([di, dj, df, do], axis=-1)
+        dgates = jnp.where(keep, dgates, 0.0)
+
+        dpix = dpix + dgates
+        dstep_rows.append(jnp.sum(dgates, axis=0))
+        dwh = dwh + jnp.dot(h_prev.T, dgates,
+                            preferred_element_type=jnp.float32)
+        dh_new = jnp.dot(dgates, wh_ref[:].T,
+                         preferred_element_type=jnp.float32)
+        dh = jnp.where(keep, dh_new, dh)
+        dc = jnp.where(keep, dct * sf, dc)
+    dpix_ref[0] = dpix
+    dstep_ref[0] = dstep_ref[0] + jnp.stack(dstep_rows[::-1])
+    dwh_ref[...] = dwh_ref[...] + dwh
+
+
+DEFAULT_BWD_TILE_P = 128  # the h/c trajectory stacks live in VMEM scratch:
+                          # 2*T*tile*H*4B plus the pixel tile and dwh
+                          # accumulator must fit the (raised) scoped-vmem
+                          # budget; measured on v5e: tile 128 beats 64
+                          # (13.7 vs 15.5 ms fwd+bwd; scan VJP 18.0 ms)
+
+
+def mlstm_pallas_bwd(pixel_term, step_term, w_h, valid, g,
+                     tile_p: Optional[int] = None,
+                     interpret: Optional[bool] = None):
+    """Gradients (d_pixel_term, d_step_term, d_w_h) of the final hidden
+    state wrt the kernel inputs."""
+    if tile_p is None:
+        tile_p = DEFAULT_BWD_TILE_P
+    n, p, four_h = pixel_term.shape
+    hidden = four_h // 4
+    t_max = step_term.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    pad = (-p) % tile_p
+    if pad:
+        pixel_term = jnp.pad(pixel_term, ((0, 0), (0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    num_tiles = (p + pad) // tile_p
+
+    dpix, dstep, dwh = pl.pallas_call(
+        functools.partial(_mlstm_bwd_kernel, t_max=t_max, hidden=hidden),
+        grid=(n, num_tiles),
+        in_specs=[
+            pl.BlockSpec((n, t_max), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_p, four_h), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_max, four_h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, four_h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, hidden), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_p, four_h), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # revisited blocks: accumulated in place across the grid
+            pl.BlockSpec((1, t_max, four_h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, four_h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, p + pad, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((n, t_max, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, four_h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t_max, tile_p, hidden), jnp.float32),
+            pltpu.VMEM((t_max, tile_p, hidden), jnp.float32),
+        ],
+        # the h/c trajectory scratch plus the weight/accumulator blocks
+        # exceed the default 16 MB scoped-vmem budget; v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), pixel_term.astype(jnp.float32),
+      step_term.astype(jnp.float32), w_h.astype(jnp.float32),
+      g.astype(jnp.float32))
+    return dpix[:, :p], dstep, dwh
+
+
 @jax.custom_vjp
 def masked_pixel_lstm(pixel_term, step_term, w_h, valid):
-    """Fused forward on TPU (scan elsewhere); scan-derived gradients."""
+    """Fused forward on TPU (scan elsewhere); scan-derived gradients.
+
+    ``MLSTM_PALLAS_INTERPRET=1`` forces the Pallas kernel in interpret mode
+    off-TPU (CI coverage of the kernel path, e.g. under the CPU mesh in
+    ``dryrun_multichip``)."""
     if jax.default_backend() == "tpu":
         return mlstm_pallas(pixel_term, step_term, w_h, valid)
+    if os.environ.get("MLSTM_PALLAS_INTERPRET") == "1":
+        return mlstm_pallas(pixel_term, step_term, w_h, valid, interpret=True)
     return mlstm_scan(pixel_term, step_term, w_h, valid)
 
 
@@ -142,6 +307,13 @@ def _fwd(pixel_term, step_term, w_h, valid):
 
 def _bwd(res, g):
     pixel_term, step_term, w_h, valid = res
+    if jax.default_backend() == "tpu" or \
+            os.environ.get("MLSTM_PALLAS_INTERPRET") == "1":
+        # fused BPTT kernel: VMEM-resident trajectories, no per-step HBM
+        # carry round-trips (grad-parity test: tests/test_pallas_mlstm.py)
+        d_pt, d_st, d_wh = mlstm_pallas_bwd(pixel_term, step_term, w_h,
+                                            valid, g)
+        return d_pt, d_st, d_wh, None
     _, vjp = jax.vjp(lambda pt, st, wh: mlstm_scan(pt, st, wh, valid),
                      pixel_term, step_term, w_h)
     d_pt, d_st, d_wh = vjp(g)

@@ -56,3 +56,43 @@ def test_custom_vjp_matches_scan_grads():
     g_scan = jax.grad(loss_scan)((pixel, step, w_h))
     for a, b in zip(g_fused, g_scan):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_bwd_kernel_matches_scan_grads():
+    """The fused BPTT kernel (interpret mode) reproduces the scan-VJP
+    gradients for both masking schemes and non-tile-aligned P."""
+    from sketchyscenecolorization_tpu.ops.pallas_mlstm import mlstm_pallas_bwd
+    for seed, valid_rows in ((0, [[True] * 5, [True, True, True, False, False]]),
+                             (1, [[False, False, True, True, True]] * 2)):
+        pixel, step, w_h = _inputs(n=2, p=40, hidden=12, t=5, seed=seed)
+        valid = jnp.asarray(np.array(valid_rows))
+        rng = np.random.RandomState(seed + 7)
+        g = jnp.asarray(rng.randn(2, 40, 12), jnp.float32)
+
+        _, vjp = jax.vjp(lambda pt, st, wh: mlstm_scan(pt, st, wh, valid),
+                         pixel, step, w_h)
+        want = vjp(g)
+        got = mlstm_pallas_bwd(pixel, step, w_h, valid, g, tile_p=16,
+                               interpret=True)
+        for a, b, name in zip(got, want, ("d_pixel", "d_step", "d_wh")):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                       err_msg=name)
+
+
+def test_custom_vjp_uses_pallas_bwd_when_forced(monkeypatch):
+    """End-to-end: with MLSTM_PALLAS_INTERPRET=1 the custom VJP routes
+    through the fused backward kernel and still matches scan grads."""
+    monkeypatch.setenv("MLSTM_PALLAS_INTERPRET", "1")
+    pixel, step, w_h = _inputs(n=1, p=24, hidden=8, t=4, seed=3)
+    valid = jnp.array([[True, True, False, False]])
+
+    def loss_fused(args):
+        return jnp.sum(masked_pixel_lstm(*args, valid) ** 2)
+
+    def loss_scan(args):
+        return jnp.sum(mlstm_scan(*args, valid) ** 2)
+
+    g_fused = jax.grad(loss_fused)((pixel, step, w_h))
+    g_scan = jax.grad(loss_scan)((pixel, step, w_h))
+    for a, b in zip(g_fused, g_scan):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
