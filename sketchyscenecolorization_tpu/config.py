@@ -106,6 +106,8 @@ class FGGanConfig:
     proj_d: bool = False
     wgan: bool = False
     distance_map: bool = False
+    compute_dtype: str = "float32"    # 'float32' | 'bfloat16' conv element
+                                      # type (DTypePolicy; accum stays f32)
     # training
     lr_g: float = 2e-4
     lr_d: float = 1e-4
@@ -134,6 +136,8 @@ class BGGanConfig:
     residual_enc_g: bool = True
     residual_enc_d: bool = True
     multi_residual: bool = True
+    compute_dtype: str = "float32"    # 'float32' | 'bfloat16' conv element
+                                      # type (DTypePolicy; accum stays f32)
     # training
     lr: float = 2e-4
     beta1: float = 0.5
@@ -163,6 +167,14 @@ class PipelineConfig:
     color_gradient: bool = True
     image_size: int = 768
     instance_size: int = 192
+    # serving-path knobs (all output-preserving; see pipeline/session.py)
+    cache_visual_features: bool = True   # backbone features cached per image
+                                         # across instructions (the reference
+                                         # rebuilds the whole graph per
+                                         # command); False recomputes the
+                                         # backbone every instruction
+    async_png_writes: bool = False       # write-behind PNG encoding
+    png_compress_level: int = 1          # zlib level of pipeline/io.write_png
 
 
 @dataclass(frozen=True)

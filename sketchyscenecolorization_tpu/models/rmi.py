@@ -156,14 +156,22 @@ def _rmi_fusion(text: Params, cfg: MatchingConfig,
     if cfg.shard_mlstm_pixels and not use_attn:
         # tensor parallelism over the pixel-batch dim: every pixel's sequence
         # is independent, so sharding P over 'model' needs no collectives
-        # inside the recurrence (weights replicated, XLA all-gathers only at
-        # the reshape back to the feature map).  Uses the scan formulation --
-        # XLA can partition it; a Pallas custom call cannot be auto-sharded.
+        # inside the recurrence (weights replicated; XLA only all-gathers at
+        # the reshape back to the feature map).  shard_map keeps the Pallas
+        # kernel on the per-shard recurrence (a custom call cannot be
+        # auto-sharded by jit, but inside shard_map each shard runs the
+        # kernel on its own VMEM-resident slice).  Requires an ambient mesh
+        # (``jax.set_mesh``) with ('data', 'model') axes.
         from jax.sharding import PartitionSpec as P
-        from ..ops.pallas_mlstm import mlstm_scan
-        pixel_term = jax.lax.with_sharding_constraint(
-            pixel_term, P("data", "model", None))
-        m_last = mlstm_scan(pixel_term, step_term, w_h, valid)
+        m_last = jax.shard_map(
+            masked_pixel_lstm,
+            in_specs=(P("data", "model", None), P("data", None, None),
+                      P(None, None), P("data", None)),
+            out_specs=P("data", "model", None),
+            # the pallas_call's out_shape carries no varying-mesh-axes
+            # annotation; correctness is covered by the TP-parity tests
+            check_vma=False,
+        )(pixel_term, step_term, w_h, valid)
         return m_last.reshape(n, h, w, m)
 
     if not use_attn:
@@ -257,13 +265,20 @@ def apply(params: Params, cfg: MatchingConfig,
 def extract_visual(params: Params, cfg: MatchingConfig,
                    images: jnp.ndarray) -> jnp.ndarray:
     """Backbone + 1x1 projection + L2 norm: the instruction-independent half
-    of the model ([N, h, w, v_emb])."""
+    of the model ([N, h, w, v_emb]).
+
+    ``cfg.compute_dtype='bfloat16'`` opens a compute-dtype scope over the
+    whole extraction: every conv stores bf16 activations (halved HBM
+    traffic; MXU math is bf16 either way under XLA's default precision --
+    see ``ops/conv.py``)."""
+    from ..ops.conv import compute_dtype_scope
     scope, _, bb_apply, _ = _backbone(cfg)
-    feat = bb_apply(params[scope], images, cfg.compute_dtype)
-    text = params["text_sketchyscene"]
-    visual = conv2d(feat, text["visual_feat_projection"]["DW"]) \
-        + text["visual_feat_projection"]["biases"]
-    return l2_normalize(visual, axis=-1)
+    with compute_dtype_scope(cfg.compute_dtype):
+        feat = bb_apply(params[scope], images, None)
+        text = params["text_sketchyscene"]
+        visual = conv2d(feat, text["visual_feat_projection"]["DW"]) \
+            + text["visual_feat_projection"]["biases"]
+    return l2_normalize(visual.astype(jnp.float32), axis=-1)
 
 
 def apply_fused(params: Params, cfg: MatchingConfig,

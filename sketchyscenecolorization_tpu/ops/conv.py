@@ -9,17 +9,59 @@ layout so a TF1->JAX converter is a pure reshape-free rename.
 """
 from __future__ import annotations
 
+import contextlib
 
 import jax.numpy as jnp
 from jax import lax
 
 _DIMS = ("NHWC", "HWIO", "NHWC")
 
+# Trace-time compute-dtype scope: every conv below casts its operands AND its
+# (float32-accumulated) output to this dtype when its explicit
+# ``compute_dtype`` argument is None.
+#
+# Measured reality on TPU (v5e, XLA default matmul precision): a float32
+# conv/dot already computes as one bf16 pass on the MXU -- explicit bf16
+# operand casts are bitwise-identical to the f32 default (while
+# Precision.HIGHEST differs).  So the win of the bfloat16 policy is *HBM
+# traffic* (activations stored at half width), not MXU rate; accumulation
+# stays float32 via ``preferred_element_type`` either way.  The scope is read
+# while *tracing*, so it must wrap the traced call (engines bake it into
+# their per-engine jit functions).
+_SCOPE_DTYPE = [None]
+
+
+@contextlib.contextmanager
+def compute_dtype_scope(dtype):
+    """``with compute_dtype_scope(jnp.bfloat16): ...`` -- casts conv/matmul
+    operands inside.  ``dtype`` may be None, 'float32', 'bfloat16', or a
+    jnp dtype; None / float32 are no-ops."""
+    if dtype in ("float32", jnp.float32):
+        dtype = None
+    if dtype == "bfloat16":
+        dtype = jnp.bfloat16
+    prev = _SCOPE_DTYPE[0]
+    _SCOPE_DTYPE[0] = dtype
+    try:
+        yield
+    finally:
+        _SCOPE_DTYPE[0] = prev
+
+
+def scope_dtype():
+    return _SCOPE_DTYPE[0]
+
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, rate: int = 1,
            padding: str = "SAME", compute_dtype=None) -> jnp.ndarray:
     """2-D convolution. ``rate`` > 1 gives atrous convolution (SAME padding is
-    computed on the dilated kernel, matching ``tf.nn.atrous_conv2d``)."""
+    computed on the dilated kernel, matching ``tf.nn.atrous_conv2d``).
+
+    An explicit ``compute_dtype`` casts operands only (f32 output); the
+    scope additionally stores the output at the scope dtype (HBM savings)."""
+    out_cast = None
+    if compute_dtype is None and _SCOPE_DTYPE[0] is not None:
+        compute_dtype = out_cast = _SCOPE_DTYPE[0]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
@@ -31,7 +73,7 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, rate: int = 1,
         dimension_numbers=_DIMS,
         preferred_element_type=jnp.float32,
     )
-    return out
+    return out if out_cast is None else out.astype(out_cast)
 
 
 def atrous_conv2d(x: jnp.ndarray, w: jnp.ndarray, rate: int,
@@ -46,17 +88,21 @@ def pad1_conv4(x: jnp.ndarray, w: jnp.ndarray, stride: int,
     ``bg_colorization_main.py:41-50``).  For stride 2 on even sizes this
     equals SAME; for stride 1 the output shrinks by one pixel (the PatchGAN
     95->94 behavior)."""
+    out_cast = None
+    if compute_dtype is None and _SCOPE_DTYPE[0] is not None:
+        compute_dtype = out_cast = _SCOPE_DTYPE[0]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     assert w.shape[0] == 4 and w.shape[1] == 4
-    return lax.conv_general_dilated(
+    out = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=((1, 1), (1, 1)),
         dimension_numbers=_DIMS,
         preferred_element_type=jnp.float32,
     )
+    return out if out_cast is None else out.astype(out_cast)
 
 
 def conv2d_transpose(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
@@ -70,6 +116,9 @@ def conv2d_transpose(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
     (TF stores transposed-conv filters as [kh, kw, out, in] -- the converter
     swaps the last two axes).
     """
+    out_cast = None
+    if compute_dtype is None and _SCOPE_DTYPE[0] is not None:
+        compute_dtype = out_cast = _SCOPE_DTYPE[0]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
@@ -83,7 +132,7 @@ def conv2d_transpose(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
     pad_hi_h = pad_total_h - pad_lo_h
     pad_hi_w = pad_total_w - pad_lo_w
     w_flipped = jnp.flip(w, axis=(0, 1))
-    return lax.conv_general_dilated(
+    out = lax.conv_general_dilated(
         x, w_flipped,
         window_strides=(1, 1),
         padding=((kh - 1 - pad_lo_h, kh - 1 - pad_hi_h),
@@ -92,6 +141,7 @@ def conv2d_transpose(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
         dimension_numbers=_DIMS,
         preferred_element_type=jnp.float32,
     )
+    return out if out_cast is None else out.astype(out_cast)
 
 
 def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:

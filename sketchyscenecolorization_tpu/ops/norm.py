@@ -30,12 +30,44 @@ def frozen_batch_norm(x, mean, var, beta, gamma, factor, eps: float = 0.001):
     return x * inv + (beta - m * inv)
 
 
+def _stats_axes(x) -> Tuple[int, ...]:
+    """Reduction axes for batch-stats BN: (N, H, W) normally; (H, W) only
+    inside a per-sample-stats scope (batched serving: each batch row then
+    gets exactly the statistics it would get as a batch-1 call, the
+    reference's inference batching -- ``fg_color_utils.py:330-333`` always
+    runs batch 1)."""
+    return (1, 2) if _PER_SAMPLE_STATS[0] else (0, 1, 2)
+
+
+_PER_SAMPLE_STATS = [False]
+
+
+def per_sample_stats_scope(on: bool = True):
+    """Trace-time scope: batch-stats BN reduces per sample instead of over
+    the whole batch, making a stacked batch-K forward equal K batch-1
+    forwards.  Usage: ``with per_sample_stats_scope(): ...``."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        prev = _PER_SAMPLE_STATS[0]
+        _PER_SAMPLE_STATS[0] = on
+        try:
+            yield
+        finally:
+            _PER_SAMPLE_STATS[0] = prev
+    return _cm()
+
+
 def batch_stats_norm(x, offset, scale, eps: float = 1e-5):
-    """Per-channel batch statistics over (N, H, W); applied even in eval."""
-    mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-    var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+    """Per-channel batch statistics over (N, H, W); applied even in eval.
+    Statistics accumulate in float32 even when activations are bf16."""
+    xs = x.astype(jnp.float32)
+    axes = _stats_axes(x)
+    mean = jnp.mean(xs, axis=axes, keepdims=True)
+    var = jnp.var(xs, axis=axes, keepdims=True)
     inv = scale * (1.0 / jnp.sqrt(var + eps))
-    return (x - mean) * inv + offset
+    return (xs - mean) * inv + offset
 
 
 def conditional_batch_stats_norm(x, labels, offset_table, scale_table, eps: float = 1e-5):
@@ -43,18 +75,21 @@ def conditional_batch_stats_norm(x, labels, offset_table, scale_table, eps: floa
 
     x: [N, H, W, C]; labels: [N] int; offset/scale tables: [n_labels, C].
     """
-    mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-    var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+    xs = x.astype(jnp.float32)
+    axes = _stats_axes(x)
+    mean = jnp.mean(xs, axis=axes, keepdims=True)
+    var = jnp.var(xs, axis=axes, keepdims=True)
     offset = offset_table[labels][:, None, None, :]   # [N,1,1,C]
     scale = scale_table[labels][:, None, None, :]
-    return (x - mean) / jnp.sqrt(var + eps) * scale + offset
+    return (xs - mean) / jnp.sqrt(var + eps) * scale + offset
 
 
 def l2_normalize(x, axis: int = -1, eps: float = 1e-12):
     """tf.nn.l2_normalize: x * rsqrt(max(sum(x^2), eps)) along axis
     (the eps floors the SQUARED norm, i.e. an effective norm floor of
     sqrt(eps) -- not a floor on the norm itself)."""
-    sum_sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    sum_sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis,
+                     keepdims=True)
     return x * jax.lax.rsqrt(jnp.maximum(sum_sq, eps))
 
 
