@@ -138,10 +138,17 @@ def instance_result_postprocessing(generated_img: np.ndarray, bbox,
     """[-1,1] generator output [1, S, S, 3] -> uint8 crop at bbox size."""
     img = ((generated_img + 1.0) / 2.0) * 255.0
     img = img.astype(np.uint8)[0]
+    return instance_result_postprocessing_u8(img, bbox, class_id46)
+
+
+def instance_result_postprocessing_u8(img_u8: np.ndarray, bbox,
+                                      class_id46: int) -> np.ndarray:
+    """uint8 generator output [S, S, 3] (the [-1,1]->uint8 conversion having
+    run on device, bit-equal to the numpy cast) -> uint8 crop at bbox size."""
     bbox_h = int(bbox[2] - bbox[0])
     bbox_w = int(bbox[3] - bbox[1])
     margin = 0 if class_id46 == ROAD_LABEL else 10
-    return reverse_resize_image(img, bbox_h, bbox_w, margin_size=margin)
+    return reverse_resize_image(img_u8, bbox_h, bbox_w, margin_size=margin)
 
 
 def _binarize_road(road_sketch: np.ndarray) -> np.ndarray:

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import BGGanConfig, FGGanConfig, MatchingConfig
 from ..models import rmi
+from ..ops.conv import compute_dtype_scope
 from ..text import matching_encode, colorization_encode
 
 # BGR pixel means, matching-model preprocessing (``fg_matching_utils.py:11``)
@@ -38,18 +39,22 @@ class MatchingEngine:
 
         @jax.jit
         def forward(params, image, words, seq_len):
-            return rmi.apply(params, cfg, image, words, seq_len).up
+            with compute_dtype_scope(cfg.compute_dtype):
+                return rmi.apply(params, cfg, image, words, seq_len).up
         self._forward = forward
 
         # batched serving: run the instruction-independent backbone ONCE per
         # sketch, then fuse N instructions against the broadcast features
         @jax.jit
         def extract(params, image):
-            return rmi.extract_visual(params, cfg, image)
+            with compute_dtype_scope(cfg.compute_dtype):
+                return rmi.extract_visual(params, cfg, image)
 
         @jax.jit
         def fuse(params, visual_norm, words, seq_len):
-            return rmi.apply_fused(params, cfg, visual_norm, words, seq_len).up
+            with compute_dtype_scope(cfg.compute_dtype):
+                return rmi.apply_fused(params, cfg, visual_norm, words,
+                                       seq_len).up
         self._extract = extract
         self._fuse = fuse
 
@@ -67,10 +72,26 @@ class MatchingEngine:
         bitwise identical to N single-instruction calls).  Returns
         [N, H, W] binary masks."""
         image = sketch_image_uint8.astype(np.float32) - PIXEL_MU
+        bin_drawing = self.binarize_drawing(sketch_image_uint8)
+
+        words, lens = self.encode_texts(input_texts)
+        visual = self._extract(self.params, jnp.asarray(image[None]))
+        up = np.asarray(self._fuse(self.params, visual,
+                                   jnp.asarray(words), jnp.asarray(lens)))
+        predicts = (up[..., 0] >= self.score_thresh).astype(np.float32)
+        return predicts * bin_drawing[None]
+
+    # -------------------------------------------------- low-transfer serving
+    @staticmethod
+    def binarize_drawing(sketch_image_uint8: np.ndarray) -> np.ndarray:
+        """{0,1} drawing-pixel mask from the R channel
+        (``fg_matching_utils.py:44-47``: 0 -> 1, 255 -> 0)."""
         bin_drawing = sketch_image_uint8[:, :, 0].copy()
         bin_drawing[bin_drawing == 0] = 1
         bin_drawing[bin_drawing == 255] = 0
+        return bin_drawing
 
+    def encode_texts(self, input_texts: Sequence[str]):
         n = len(input_texts)
         words = np.zeros((n, self.cfg.max_len), np.int32)
         lens = np.zeros((n,), np.int32)
@@ -78,11 +99,65 @@ class MatchingEngine:
             idx, ln = matching_encode(text, self.vocab, self.cfg.max_len)
             words[i] = idx
             lens[i] = ln
-        visual = self._extract(self.params, jnp.asarray(image[None]))
-        up = np.asarray(self._fuse(self.params, visual,
-                                   jnp.asarray(words), jnp.asarray(lens)))
-        predicts = (up[..., 0] >= self.score_thresh).astype(np.float32)
-        return predicts * bin_drawing[None]
+        return words, lens
+
+    def _build_score(self):
+        """Device-side instance scoring: the whole
+        ``predict -> threshold -> bin-drawing mask -> per-instance occupancy``
+        chain (``fg_matching_utils.py:52-61`` + ``sketch_data_processing.py:
+        254-281``) runs on device and only the [N_inst] score vector crosses
+        the host boundary (vs. a 768^2 float mask fetch).  The occupancy dot
+        is exact: {0,1} operands are exact in bf16 and the MXU accumulates
+        float32, with counts < 2^24."""
+        cfg = self.cfg
+        thresh = self.score_thresh
+
+        def score_tail(up, inst_masks, areas, bin_drawing):
+            pred = (up[..., 0] >= thresh).astype(jnp.float32) \
+                * bin_drawing[None]                             # [M, H, W]
+            m = pred.shape[0]
+            inter = inst_masks @ pred.reshape(m, -1).T          # [N_inst, M]
+            return (inter / jnp.maximum(areas, 1.0)[:, None]).T  # [M, N_inst]
+
+        @jax.jit
+        def score_cold(params, image, words, seq_len, inst_masks, areas,
+                       bin_drawing):
+            with compute_dtype_scope(cfg.compute_dtype):
+                visual = rmi.extract_visual(params, cfg, image)
+                up = rmi.apply_fused(params, cfg, visual, words, seq_len).up
+            return score_tail(up, inst_masks, areas, bin_drawing)
+
+        @jax.jit
+        def score_warm(params, visual, words, seq_len, inst_masks, areas,
+                       bin_drawing):
+            with compute_dtype_scope(cfg.compute_dtype):
+                up = rmi.apply_fused(params, cfg, visual, words, seq_len).up
+            return score_tail(up, inst_masks, areas, bin_drawing)
+
+        self._score_cold = score_cold
+        self._score_warm = score_warm
+
+    def score_instances(self, image_dev, words: np.ndarray, lens: np.ndarray,
+                        inst_masks_dev, areas_dev, bin_drawing_dev,
+                        visual_dev=None) -> np.ndarray:
+        """Occupancy scores [N_inst] for one instruction.  ``image_dev`` is
+        the mean-subtracted [1,H,W,3] image on device; pass ``visual_dev``
+        (cached ``extract_visual`` output) to skip the backbone."""
+        if not hasattr(self, "_score_cold"):
+            self._build_score()
+        if visual_dev is not None:
+            out = self._score_warm(self.params, visual_dev, jnp.asarray(words),
+                                   jnp.asarray(lens), inst_masks_dev,
+                                   areas_dev, bin_drawing_dev)
+        else:
+            out = self._score_cold(self.params, image_dev, jnp.asarray(words),
+                                   jnp.asarray(lens), inst_masks_dev,
+                                   areas_dev, bin_drawing_dev)
+        return np.asarray(out)
+
+    def extract_visual_dev(self, image_dev):
+        """Cached-feature extraction (device array result stays on device)."""
+        return self._extract(self.params, image_dev)
 
 
 class FGColorizeEngine:
@@ -99,8 +174,16 @@ class FGColorizeEngine:
 
         @jax.jit
         def forward(g_params, sketch, tokens, labels, noise):
-            return gen.apply({"params": g_params}, sketch, tokens, labels, noise)
+            # DTypePolicy: the scope is read at trace time, so the config's
+            # compute dtype is baked into this engine's compiled executable
+            with compute_dtype_scope(cfg.compute_dtype):
+                out = gen.apply({"params": g_params}, sketch, tokens,
+                                labels, noise)
+            return out.astype(jnp.float32)
         self._forward = forward
+
+    def encode(self, text: str):
+        return colorization_encode(text, self.vocab, self.cfg.max_len)
 
     def colorize(self, instance_sketch: np.ndarray, class_id25: int,
                  text: str) -> np.ndarray:
@@ -114,6 +197,75 @@ class FGColorizeEngine:
                             jnp.asarray(np.asarray([class_id25], np.int32)),
                             noise)
         return np.asarray(out)
+
+    def _build_batched(self):
+        """K instances in ONE device call.  Inside a per-sample-stats scope
+        the batch-stats BN reduces per sample, so a stacked batch-K forward
+        equals K batch-1 calls (the reference only ever runs batch 1 at
+        inference, ``fg_color_utils.py:330-333``); the [-1,1]->uint8
+        conversion also happens on device (4x smaller host fetch)."""
+        from ..ops.norm import per_sample_stats_scope
+        from ..train.fg_gan import build_models
+        cfg = self.cfg
+        gen, _ = build_models(cfg)
+
+        @jax.jit
+        def forward(g_params, sketches, tokens, labels, noise):
+            with per_sample_stats_scope(), compute_dtype_scope(cfg.compute_dtype):
+                out = gen.apply({"params": g_params}, sketches, tokens,
+                                labels, noise)
+            # float -> uint8 truncation, matching np.ndarray.astype
+            return (((out.astype(jnp.float32) + 1.0) / 2.0) * 255.0
+                    ).astype(jnp.uint8)
+        self._forward_batched = forward
+
+    def colorize_batch(self, instance_sketches: np.ndarray,
+                       class_ids25: Sequence[int], text: str) -> np.ndarray:
+        """[-1,1] float32 [K,S,S,3] sketches + one instruction -> uint8
+        [K,S,S,3].  The RNG advances exactly as K sequential ``colorize``
+        calls would (same noise stream)."""
+        k = len(class_ids25)
+        tokens = colorization_encode(text, self.vocab, self.cfg.max_len)
+        texts_tok = np.broadcast_to(
+            np.asarray(tokens, np.int32)[None], (k, self.cfg.max_len))
+        return self.colorize_rows(instance_sketches, class_ids25, texts_tok)
+
+    def colorize_rows(self, instance_sketches: np.ndarray,
+                      class_ids25: Sequence[int],
+                      tokens_rows: np.ndarray) -> np.ndarray:
+        """Like ``colorize_batch`` but with per-row token vectors [K, T]
+        (stream serving batches instances of *different* instructions into
+        one call).  The batch is padded up to the next power-of-two bucket so
+        the jit cache stays bounded; per-sample BN makes pad rows inert."""
+        if not hasattr(self, "_forward_batched"):
+            self._build_batched()
+        k = len(class_ids25)
+        noises = []
+        for _ in range(k):
+            self._rng, nk = jax.random.split(self._rng)
+            noises.append(jax.random.normal(nk, (1, self.cfg.noise_dim),
+                                            jnp.float32))
+        bucket = 1
+        while bucket < k:
+            bucket *= 2
+        pad = bucket - k
+        if pad:
+            noises.append(jnp.zeros((pad, self.cfg.noise_dim), jnp.float32))
+        noise = jnp.concatenate(noises, axis=0)
+        sketches = np.concatenate(
+            [instance_sketches,
+             np.zeros((pad, *instance_sketches.shape[1:]), np.float32)]
+        ) if pad else instance_sketches
+        tok = np.concatenate(
+            [tokens_rows, np.zeros((pad, self.cfg.max_len), np.int32)]
+        ) if pad else tokens_rows
+        ids = np.concatenate(
+            [np.asarray(class_ids25, np.int32), np.zeros((pad,), np.int32)]
+        ) if pad else np.asarray(class_ids25, np.int32)
+        out = self._forward_batched(
+            self.g_params, jnp.asarray(sketches.astype(np.float32)),
+            jnp.asarray(tok.astype(np.int32)), jnp.asarray(ids), noise)
+        return np.asarray(out[:k])
 
 
 class BGColorizeEngine:
@@ -131,7 +283,8 @@ class BGColorizeEngine:
         def forward(g_params, image_uint8, tokens):
             # preprocess_examples: uint8 -> [-1, 1] (bg main :101-114)
             x = image_uint8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
-            result = gen.apply({"params": g_params}, x, tokens)
+            with compute_dtype_scope(cfg.compute_dtype):
+                result = gen.apply({"params": g_params}, x, tokens)
             if cfg.residual_enc_g:
                 out, region = result
                 labels = jnp.argmax(region, axis=-1)
@@ -140,15 +293,19 @@ class BGColorizeEngine:
                 labels = jnp.zeros(out.shape[:3], jnp.int32)
             # deprocess + uint8 (bg main :29-38): TF convert_image_dtype
             # multiplies by dtype.max + 0.5 then saturate-casts (truncation)
+            out = out.astype(jnp.float32)
             out = jnp.clip((out + 1.0) / 2.0 * 255.5, 0, 255).astype(jnp.uint8)
-            return out, labels
+            # labels as uint8: 3 classes, 4x smaller host fetch
+            return out, labels.astype(jnp.uint8)
         self._forward = forward
 
-    def colorize(self, fg_image_uint8: np.ndarray,
-                 text: str) -> Tuple[np.ndarray, np.ndarray]:
-        """uint8 [768,768,3] FG composite -> (uint8 background, region labels)."""
+    def colorize(self, fg_image_uint8: np.ndarray, text: str,
+                 want_region: bool = True) -> Tuple[np.ndarray, Any]:
+        """uint8 [768,768,3] FG composite -> (uint8 background, region labels).
+        ``want_region=False`` skips the label fetch (the pipeline discards
+        them -- ``bg_utils.py`` never reads the region output at serve time)."""
         tokens = colorization_encode(text, self.vocab, self.cfg.max_len)
         out, region = self._forward(self.g_params,
                                     jnp.asarray(fg_image_uint8[None]),
                                     jnp.asarray(np.asarray(tokens, np.int32)[None]))
-        return np.array(out)[0], np.array(region)[0]
+        return np.array(out)[0], (np.array(region)[0] if want_region else None)

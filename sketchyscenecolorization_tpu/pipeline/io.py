@@ -1,0 +1,106 @@
+"""Fast image IO for the interactive pipeline.
+
+``write_png`` is a minimal RGB8 PNG encoder (single IDAT, per-row 'sub'
+filter, configurable zlib level).  PIL's encoder spends ~160-200 ms on a
+768^2 result image regardless of compression level (its adaptive row
+filtering dominates); this writer does the same image in ~5 ms (level 0) /
+~45 ms (level 1) and produces byte-exact pixels on round-trip (PIL reads it
+back verbatim -- tested in ``tests/test_pipeline_serving.py``).
+
+``AsyncPngWriter`` is a write-behind queue: the session keeps results in
+memory (its own read path never touches disk for the latest image), so PNG
+encoding can overlap the next instruction's device work.  ``flush()`` joins
+the queue; withdraw and session shutdown flush first.
+
+The reference writes synchronously with scipy/PIL
+(``fg_color_utils.py:361-363``, ``bg_utils.py:313-325``); output bytes here
+decode to identical pixel content.
+"""
+from __future__ import annotations
+
+import os
+import queue
+import struct
+import threading
+import zlib
+from typing import Optional
+
+import numpy as np
+
+
+def png_bytes(arr: np.ndarray, level: int = 1) -> bytes:
+    """RGB uint8 [H, W, 3] -> PNG file bytes (color type 2, bit depth 8)."""
+    assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
+    h, w, _ = arr.shape
+    row = np.ascontiguousarray(arr).reshape(h, w * 3)
+    if level == 0:
+        # filter 0 (None): cheapest; compression is off anyway
+        raw = np.concatenate(
+            [np.zeros((h, 1), np.uint8), row], axis=1).tobytes()
+    else:
+        # filter 1 (Sub): horizontal delta, cheap and compresses well on
+        # flat-colored sketch output
+        delta = row.copy()
+        delta[:, 3:] = row[:, 3:] - row[:, :-3]
+        raw = np.concatenate(
+            [np.ones((h, 1), np.uint8), delta], axis=1).tobytes()
+    comp = zlib.compress(raw, level)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", comp) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, arr: np.ndarray, level: int = 1) -> None:
+    with open(path, "wb") as f:
+        f.write(png_bytes(arr, level))
+
+
+class AsyncPngWriter:
+    """Single worker thread draining (path, array, level) jobs.
+
+    Arrays are copied at enqueue time so callers may keep mutating their
+    buffers.  Exceptions in the worker are re-raised at the next ``save`` or
+    ``flush`` so failures are not silent.
+    """
+
+    def __init__(self):
+        self._q: "queue.Queue[Optional[tuple]]" = queue.Queue()
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            try:
+                if job is None:
+                    return
+                path, arr, level = job
+                write_png(path, arr, level)
+            except BaseException as e:   # noqa: BLE001 - surfaced on flush
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def save(self, path: str, arr: np.ndarray, level: int = 1) -> None:
+        self._check()
+        self._q.put((path, np.array(arr, copy=True), level))
+
+    def flush(self) -> None:
+        self._q.join()
+        self._check()
+
+    def close(self) -> None:
+        self.flush()
+        self._q.put(None)
+        self._thread.join()

@@ -11,17 +11,38 @@ color (BG):  route -> merge sky/ground text with history -> extract FG ->
              HSV sky gradient -> save + record.
 withdraw:    delete the newest result image + truncate the record JSON.
 
-Unlike the reference (fresh TF graph + session per stage per command), a
-``ColorizationSession`` keeps all three compiled models alive across
-instructions.
+Serving design (vs. the reference's fresh TF graph + session per stage per
+command):
+
+- the three compiled models live for the whole session;
+- everything derivable from the *image fixtures alone* is computed once per
+  image and cached (`_ImageState`): decoded sketch, inner mask, expanded
+  instance masks, per-instance prepared GAN inputs, the shifted-drawing
+  overlay, and the device-resident tensors for matching (mean-subtracted
+  image, {0,1} drawing mask, packed instance masks) -- plus, optionally, the
+  instruction-independent backbone features
+  (``PipelineConfig.cache_visual_features``);
+- per instruction only two device round-trips remain: instance *scores*
+  ([N_inst] floats -- thresholding and occupancy run on device,
+  ``engines.MatchingEngine.score_instances``) and the batched instance GAN
+  forward (uint8);
+- the latest result per image is kept in memory, so PNG encoding can be
+  write-behind (``PipelineConfig.async_png_writes``) without changing any
+  read-after-write behavior.
+
+All of this is output-preserving: goldens and the record/withdraw state
+machine match the sequential formulation bit for bit
+(``tests/test_pipeline_serving.py``).
 """
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
+
+import jax.numpy as jnp
 
 from ..config import FrameworkConfig
 from ..data.fixtures import (
@@ -32,11 +53,82 @@ from ..data.records import fetch_records, update_records, withdraw_records
 from ..text import judge_colorize_type, segment_user_input_text
 from ..text.bg_text import DEFAULT_BG_TEXT, combine_bg_input_text
 from . import compositing as comp
-from .engines import BGColorizeEngine, FGColorizeEngine, MatchingEngine
+from .engines import BGColorizeEngine, FGColorizeEngine, MatchingEngine, PIXEL_MU
+from .io import AsyncPngWriter, write_png
+
+
+def _fixture_signature(paths: Dict[str, str]) -> Tuple[int, ...]:
+    return tuple(os.stat(paths[k]).st_mtime_ns
+                 for k in ("sketch", "seg_data", "inner_mask"))
+
+
+class _ImageState:
+    """Everything about one image that does not depend on the instruction."""
+
+    def __init__(self, paths: Dict[str, str], image_size: int):
+        self.signature = _fixture_signature(paths)
+        self.sketch = load_sketch_image(paths["sketch"], dtype=np.uint8,
+                                        size=image_size)
+        self.inner_mask = load_inner_mask(paths["inner_mask"])
+        self.categories46 = load_color_map(paths["color_map"])
+        self.pred_masks, self.pred_class_ids, self.pred_boxes = \
+            load_seg_data(paths["seg_data"], size=image_size)
+        self.grass_indices = [i for i, c in enumerate(self.pred_class_ids)
+                              if c == comp.GRASS_LABEL]
+        # overlay inputs depend only on the sketch + grass layout
+        self.no_grass = comp.grass_free_inner_mask(self.inner_mask,
+                                                   self.grass_indices)
+        self.moved, self.drawings_region = comp.shifted_drawings(
+            self.sketch, self.no_grass)
+
+        # device-resident matching inputs
+        image = self.sketch.astype(np.float32) - PIXEL_MU
+        self.image_dev = jnp.asarray(image[None])
+        self.bin_drawing_dev = jnp.asarray(
+            MatchingEngine.binarize_drawing(self.sketch).astype(np.float32))
+        n = len(self.pred_class_ids)
+        self.inst_masks_dev = jnp.asarray(
+            self.pred_masks.reshape(n, -1).astype(np.float32))
+        self.areas_dev = jnp.asarray(
+            self.pred_masks.reshape(n, -1).sum(axis=1).astype(np.float32))
+        self.visual_dev = None                  # lazily-cached backbone feats
+        self.instance_inputs: Dict[int, np.ndarray] = {}
+        self.last_result: Optional[Tuple[str, np.ndarray]] = None  # (name, img)
+
+    def prepared_instance(self, inst_idx: int, instance_size: int) -> np.ndarray:
+        """[-1,1] float32 GAN input for one instance (crop -> white-bg mask
+        image -> resize+pad -> road/grass special cases;
+        ``fg_color_utils.py:282-311``).  Pure function of the fixtures, so
+        cached per instance."""
+        if inst_idx in self.instance_inputs:
+            return self.instance_inputs[inst_idx]
+        class_id46 = int(self.pred_class_ids[inst_idx])
+        y1, x1, y2, x2 = (int(b) for b in self.pred_boxes[inst_idx])
+        inst_mask = self.pred_masks[inst_idx][y1:y2, x1:x2]
+        mask_img = np.full((inst_mask.shape[0], inst_mask.shape[1], 3),
+                           255, dtype=np.uint8)
+        mask_img[inst_mask == 1] = [0, 0, 0]
+        pil = Image.fromarray(mask_img, "RGB")
+        if pil.width != instance_size or pil.height != instance_size:
+            margin = 0 if class_id46 == comp.ROAD_LABEL else 10
+            instance_sketch = comp.resize_and_padding_mask_image(
+                pil, instance_size, margin_size=margin)
+        else:
+            instance_sketch = np.array(pil, dtype=np.uint8)
+
+        if class_id46 == comp.ROAD_LABEL:
+            if not comp.is_road_not_single_line(instance_sketch.copy()):
+                raise ValueError("Road is single line")
+        if class_id46 == comp.GRASS_LABEL:
+            instance_sketch = comp.thicken_drawings(instance_sketch)
+
+        x = instance_sketch.astype(np.float32) / 255.0 * 2.0 - 1.0
+        self.instance_inputs[inst_idx] = x
+        return x
 
 
 class ColorizationSession:
-    """Holds the three engines plus the per-image data paths."""
+    """Holds the three engines plus per-image cached state."""
 
     def __init__(self, cfg: FrameworkConfig, matching: MatchingEngine,
                  fg: FGColorizeEngine, bg: BGColorizeEngine):
@@ -44,6 +136,8 @@ class ColorizationSession:
         self.matching = matching
         self.fg = fg
         self.bg = bg
+        self._images: Dict[str, _ImageState] = {}
+        self._writer = AsyncPngWriter() if cfg.pipeline.async_png_writes else None
 
     # ---------------------------------------------------------------- paths
     def _paths(self, image_id) -> Dict[str, str]:
@@ -60,6 +154,43 @@ class ColorizationSession:
                          str(image_id))
         os.makedirs(d, exist_ok=True)
         return d
+
+    def _state(self, image_id) -> _ImageState:
+        key = str(image_id)
+        paths = self._paths(image_id)
+        cached = self._images.get(key)
+        if cached is not None and cached.signature == _fixture_signature(paths):
+            return cached
+        last = cached.last_result if cached is not None else None
+        state = _ImageState(paths, self.cfg.pipeline.image_size)
+        state.last_result = last        # result history survives fixture edits
+        self._images[key] = state
+        return state
+
+    def _save_result(self, path: str, image: np.ndarray) -> None:
+        level = self.cfg.pipeline.png_compress_level
+        if self._writer is not None:
+            self._writer.save(path, image, level)
+        else:
+            write_png(path, image, level)
+
+    def _load_base(self, state: _ImageState, results_dir: str,
+                   last_name: str) -> np.ndarray:
+        """Latest result (memory first, disk fallback), or the raw sketch."""
+        if last_name == "":
+            return state.sketch.copy()
+        if state.last_result is not None and state.last_result[0] == last_name:
+            return state.last_result[1].copy()
+        if self._writer is not None:
+            self._writer.flush()
+        return np.array(Image.open(
+            os.path.join(results_dir, last_name)).convert("RGB"),
+            dtype=np.uint8)
+
+    def flush(self) -> None:
+        """Block until all write-behind PNGs are on disk."""
+        if self._writer is not None:
+            self._writer.flush()
 
     # ----------------------------------------------------------------- API
     def colorize(self, image_id, input_text: str) -> str:
@@ -82,15 +213,134 @@ class ColorizationSession:
                        colorization_type, new_name, proc_bg_text, summary)
         return out_path
 
+    def colorize_stream(self, image_id, input_texts: Sequence[str]) -> List[str]:
+        """Ordered batch serving: M queued instructions with the same
+        outputs, records and error behavior as M sequential ``colorize``
+        calls (``tests/test_pipeline_serving.py`` asserts equality).
+
+        Consecutive FG instructions share ONE matching forward (the
+        instruction axis batches bit-equally through ``rmi.apply_fused``) and
+        ONE instance-GAN forward (per-sample BN keeps rows independent) --
+        the TPU-idiomatic request-batching deployment; device round-trips
+        per FG run drop from 2M to 2."""
+        texts = list(input_texts)
+        out: List[str] = []
+        i = 0
+        while i < len(texts):
+            if judge_colorize_type(texts[i]) == "FG":
+                j = i
+                while j < len(texts) and judge_colorize_type(texts[j]) == "FG":
+                    j += 1
+                out.extend(self._colorize_fg_run(image_id, texts[i:j]))
+                i = j
+            else:
+                out.append(self.colorize(image_id, texts[i]))
+                i += 1
+        return out
+
+    def _colorize_fg_run(self, image_id, run_texts: Sequence[str]) -> List[str]:
+        state = self._state(image_id)
+        instance_size = self.cfg.pipeline.instance_size
+        matched = self._match_many(state, run_texts)
+
+        # validate + prepare per pass in order; the first failing pass stops
+        # the run (earlier passes still commit, like sequential execution)
+        error: Optional[BaseException] = None
+        n_ok = len(run_texts)
+        rows, row_class_ids, row_tokens, plans = [], [], [], []
+        for p, text in enumerate(run_texts):
+            inst_color_text = segment_user_input_text(text)
+            toks = self.fg.encode(inst_color_text)
+            pass_rows = []
+            try:
+                for inst_idx in matched[p]:
+                    class_id46 = int(state.pred_class_ids[inst_idx])
+                    if class_id46 not in comp.SKE_ID_TO_CAT_ID:
+                        raise ValueError(
+                            "Wrong matching instance: "
+                            f"{state.categories46[class_id46]}")
+                    pass_rows.append(
+                        state.prepared_instance(inst_idx, instance_size))
+            except ValueError as e:
+                error = e
+                n_ok = p
+                break
+            for inst_idx, row in zip(matched[p], pass_rows):
+                rows.append(row)
+                row_class_ids.append(
+                    comp.SKE_ID_TO_CAT_ID[int(state.pred_class_ids[inst_idx])])
+                row_tokens.append(toks)
+            plans.append((text, matched[p]))
+
+        generated_u8 = None
+        if rows:
+            generated_u8 = self.fg.colorize_rows(
+                np.stack(rows), row_class_ids,
+                np.asarray(row_tokens, np.int32))
+
+        out_paths: List[str] = []
+        results_dir = self._results_dir(image_id)
+        row = 0
+        for text, inst_indices in plans[:n_ok]:
+            new_name, last_name, last_bg_text, summary = fetch_records(
+                image_id, self.cfg.pipeline.results_base_dir)
+            new_result = self._load_base(state, results_dir, last_name)
+            for inst_idx in inst_indices:
+                class_id46 = int(state.pred_class_ids[inst_idx])
+                bbox = state.pred_boxes[inst_idx]
+                color_instance = comp.instance_result_postprocessing_u8(
+                    generated_u8[row], bbox, class_id46)
+                comp.paste_instance(new_result, color_instance,
+                                    state.inner_mask, inst_idx, bbox)
+                row += 1
+            new_result[state.drawings_region] = \
+                state.moved[state.drawings_region]
+            out_path = os.path.join(results_dir, new_name)
+            self._save_result(out_path, new_result)
+            state.last_result = (new_name, new_result)
+            update_records(image_id, text,
+                           self.cfg.pipeline.results_base_dir, "FG",
+                           new_name, last_bg_text, summary)
+            out_paths.append(out_path)
+        if error is not None:
+            raise error
+        return out_paths
+
     def withdraw(self, image_id) -> None:
+        self.flush()
         withdraw_records(image_id, self.cfg.pipeline.results_base_dir)
+        key = str(image_id)
+        if key in self._images:
+            self._images[key].last_result = None   # force a disk re-read
 
     # ------------------------------------------------------------- matching
     def match_instances(self, image_id, input_text: str) -> List[int]:
-        """``build_instance_matching`` (``fg_matching_utils.py:14-77``)."""
+        """``build_instance_matching`` (``fg_matching_utils.py:14-77``) with
+        the threshold + occupancy chain on device (scores fetched, not the
+        mask -- bit-equal to the host path, see ``engines.score_instances``)."""
+        return self._match_many(self._state(image_id), [input_text])[0]
+
+    def _match_many(self, state: _ImageState,
+                    input_texts: Sequence[str]) -> List[List[int]]:
+        """Matched instance indices for M instructions in ONE device call
+        (``rmi.apply_fused`` is batch-independent, so this is bit-equal to M
+        single calls -- ``test_pipeline.test_predict_masks_batched...``)."""
+        if self.cfg.pipeline.cache_visual_features and state.visual_dev is None:
+            state.visual_dev = self.matching.extract_visual_dev(state.image_dev)
+        words, lens = self.matching.encode_texts(list(input_texts))
+        scores = self.matching.score_instances(
+            state.image_dev, words, lens, state.inst_masks_dev,
+            state.areas_dev, state.bin_drawing_dev,
+            visual_dev=state.visual_dev)                    # [M, N_inst]
+        keep = scores > self.cfg.pipeline.mask_occupied_threshold
+        return [[int(i) for i in np.nonzero(row)[0]] for row in keep]
+
+    def match_instances_host(self, image_id, input_text: str) -> List[int]:
+        """Host-side reference path (full mask fetch +
+        ``get_pred_instance_mask``); kept for parity testing."""
         paths = self._paths(image_id)
-        sketch = load_sketch_image(paths["sketch"], dtype=np.uint8, size=self.cfg.pipeline.image_size)
-        predicts = self.matching.predict_mask(sketch, input_text)
+        state = self._state(image_id)
+        predicts = self.matching.predict_mask(state.sketch, input_text)
         _, _, _, _, matched = get_pred_instance_mask(
             paths["seg_data"], predicts.copy(),
             self.cfg.pipeline.mask_occupied_threshold)
@@ -102,68 +352,40 @@ class ColorizationSession:
                             last_name: str) -> str:
         """``build_instance_colorization`` (``fg_color_utils.py:188-363``)."""
         assert isinstance(inst_indices, list)
-        paths = self._paths(image_id)
+        state = self._state(image_id)
         instance_size = self.cfg.pipeline.instance_size
-
-        categories46 = load_color_map(paths["color_map"])
-        sketch_image = load_sketch_image(paths["sketch"], dtype=np.uint8, size=self.cfg.pipeline.image_size)
-        inner_mask = load_inner_mask(paths["inner_mask"])
         results_dir = self._results_dir(image_id)
-
-        if last_name == "":
-            base_image = sketch_image.copy()
-        else:
-            base_image = np.array(Image.open(
-                os.path.join(results_dir, last_name)).convert("RGB"),
-                dtype=np.uint8)
-        new_result = base_image.copy()
-
-        pred_masks, pred_class_ids, pred_boxes = load_seg_data(paths["seg_data"], size=self.cfg.pipeline.image_size)
-        grass_indices = [i for i, c in enumerate(pred_class_ids)
-                         if c == comp.GRASS_LABEL]
+        new_result = self._load_base(state, results_dir, last_name)
 
         inst_color_text = segment_user_input_text(input_text)
 
+        # validity + prepared inputs (cached per instance; raises exactly as
+        # the per-instance loop would -- nothing is written on error)
+        batch, class_ids25 = [], []
         for inst_idx in inst_indices:
-            class_id46 = int(pred_class_ids[inst_idx])
-            bbox = pred_boxes[inst_idx]
-            y1, x1, y2, x2 = (int(b) for b in bbox)
+            class_id46 = int(state.pred_class_ids[inst_idx])
             if class_id46 not in comp.SKE_ID_TO_CAT_ID:
                 raise ValueError(
-                    f"Wrong matching instance: {categories46[class_id46]}")
+                    f"Wrong matching instance: {state.categories46[class_id46]}")
+            batch.append(state.prepared_instance(inst_idx, instance_size))
+            class_ids25.append(comp.SKE_ID_TO_CAT_ID[class_id46])
 
-            # crop -> white-bg mask image -> resize+pad to instance size
-            inst_mask = pred_masks[inst_idx][y1:y2, x1:x2]
-            mask_img = np.full((inst_mask.shape[0], inst_mask.shape[1], 3),
-                               255, dtype=np.uint8)
-            mask_img[inst_mask == 1] = [0, 0, 0]
-            pil = Image.fromarray(mask_img, "RGB")
-            if pil.width != instance_size or pil.height != instance_size:
-                margin = 0 if class_id46 == comp.ROAD_LABEL else 10
-                instance_sketch = comp.resize_and_padding_mask_image(
-                    pil, instance_size, margin_size=margin)
-            else:
-                instance_sketch = np.array(pil, dtype=np.uint8)
+        if batch:
+            generated_u8 = self.fg.colorize_batch(
+                np.stack(batch), class_ids25, inst_color_text)
+            for k, inst_idx in enumerate(inst_indices):
+                class_id46 = int(state.pred_class_ids[inst_idx])
+                bbox = state.pred_boxes[inst_idx]
+                color_instance = comp.instance_result_postprocessing_u8(
+                    generated_u8[k], bbox, class_id46)
+                comp.paste_instance(new_result, color_instance,
+                                    state.inner_mask, inst_idx, bbox)
 
-            if class_id46 == comp.ROAD_LABEL:
-                if not comp.is_road_not_single_line(instance_sketch.copy()):
-                    raise ValueError("Road is single line")
-            if class_id46 == comp.GRASS_LABEL:
-                instance_sketch = comp.thicken_drawings(instance_sketch)
-
-            x = instance_sketch.astype(np.float32) / 255.0 * 2.0 - 1.0
-            generated = self.fg.colorize(
-                x, comp.SKE_ID_TO_CAT_ID[class_id46], inst_color_text)
-            color_instance = comp.instance_result_postprocessing(
-                generated, bbox, class_id46)
-            comp.paste_instance(new_result, color_instance, inner_mask,
-                                inst_idx, bbox)
-
-        no_grass = comp.grass_free_inner_mask(inner_mask, grass_indices)
-        comp.overlay_drawings(new_result, sketch_image, no_grass)
+        new_result[state.drawings_region] = state.moved[state.drawings_region]
 
         out_path = os.path.join(results_dir, new_name)
-        Image.fromarray(new_result, "RGB").save(out_path, "PNG")
+        self._save_result(out_path, new_result)
+        state.last_result = (new_name, new_result)
         return out_path
 
     # ------------------------------------------------------------------ BG
@@ -171,45 +393,39 @@ class ColorizationSession:
                             last_name: str, last_bg_text: str
                             ) -> Tuple[str, str]:
         """``build_background_colorization`` (``bg_utils.py:169-325``)."""
-        paths = self._paths(image_id)
-        sketch_image = load_sketch_image(paths["sketch"], dtype=np.uint8, size=self.cfg.pipeline.image_size)
+        state = self._state(image_id)
         results_dir = self._results_dir(image_id)
 
         if last_name == "":
             assert last_bg_text == ""
             last_bg_text = DEFAULT_BG_TEXT
-            previous = sketch_image.copy()
+            previous = state.sketch.copy()
         else:
-            previous = np.array(Image.open(
-                os.path.join(results_dir, last_name)).convert("RGB"),
-                dtype=np.uint8)
+            previous = self._load_base(state, results_dir, last_name)
 
-        _, pred_class_ids, _ = load_seg_data(paths["seg_data"], size=self.cfg.pipeline.image_size)
-        grass_indices = [i for i, c in enumerate(pred_class_ids)
-                         if c == comp.GRASS_LABEL]
-
-        inner_mask = load_inner_mask(paths["inner_mask"])
+        inner_mask = state.inner_mask
         fg_image = comp.extract_foreground(previous, inner_mask)
         fg_image_temp = fg_image.copy()
 
         proc_text = combine_bg_input_text(input_text, last_bg_text)
-        background, _ = self.bg.colorize(fg_image, proc_text)
+        background, _ = self.bg.colorize(fg_image, proc_text,
+                                         want_region=False)
 
         # paste FG back, overlay drawings (skipping grass), save the fg debug
         # image like the reference does (``bg_utils.py:290-310``)
         background[inner_mask != 0] = fg_image[inner_mask != 0]
-        no_grass = comp.grass_free_inner_mask(inner_mask, grass_indices)
-        moved, drawings_region = comp.shifted_drawings(sketch_image, no_grass)
+        moved, drawings_region = state.moved, state.drawings_region
         background[drawings_region] = moved[drawings_region]
 
         fg_image_temp[drawings_region] = moved[drawings_region]
-        Image.fromarray(fg_image_temp, "RGB").save(
-            os.path.join(results_dir, f"{image_id}_fg.png"), "PNG")
+        self._save_result(os.path.join(results_dir, f"{image_id}_fg.png"),
+                          fg_image_temp)
 
         if self.cfg.pipeline.color_gradient:
             background = comp.add_color_gradient(background, inner_mask)
             background[drawings_region] = moved[drawings_region]
 
         out_path = os.path.join(results_dir, new_name)
-        Image.fromarray(background, "RGB").save(out_path, "PNG")
+        self._save_result(out_path, background)
+        state.last_result = (new_name, background)
         return out_path, proc_text

@@ -33,6 +33,22 @@ def test_full_pipeline_on_reference_examples(tmp_path):
     img1 = np.array(Image.open(out1))
     assert img1.shape == (768, 768, 3)
 
+    # pixel-content golden (recorded on the CPU backend with seed 0): a
+    # refactor that changes full-res output imagery fails here, not just
+    # shape checks (tests/goldens/e2e_9996.npz)
+    golden_path = os.path.join(os.path.dirname(__file__), "goldens",
+                               "e2e_9996.npz")
+    g = np.load(golden_path)
+    np.testing.assert_array_equal(
+        np.asarray(session.match_instances(
+            9996, "the bus is yellow with gray windows"), np.int64),
+        g["fg_matched"])
+    np.testing.assert_allclose(img1.mean(axis=(0, 1)), g["fg_mean"], atol=1.0)
+    np.testing.assert_allclose(img1.std(axis=(0, 1)), g["fg_std"], atol=2.0)
+    crop = img1[330:394, 340:404]
+    # allow tiny float-noise pixel flips, not content changes
+    assert np.abs(crop.astype(int) - g["fg_crop"].astype(int)).mean() < 1.0
+
     out2 = session.colorize(9996, "the sky is red and the ground is gray")
     rec = json.load(open(tmp_path / "outputs" / "update_records" /
                          "9996_records.json"))
@@ -42,3 +58,12 @@ def test_full_pipeline_on_reference_examples(tmp_path):
     session.withdraw(9996)
     assert not os.path.isfile(out2)
     assert os.path.isfile(out1)
+
+    # BG golden on the canonical prior text (separate pass so the record
+    # chain above stays byte-stable)
+    out3 = session.colorize(9996, "the sky is blue and the ground is green")
+    img3 = np.array(Image.open(out3))
+    np.testing.assert_allclose(img3.mean(axis=(0, 1)), g["bg_mean"], atol=1.0)
+    np.testing.assert_allclose(img3.std(axis=(0, 1)), g["bg_std"], atol=2.0)
+    crop3 = img3[40:104, 40:104]
+    assert np.abs(crop3.astype(int) - g["bg_crop"].astype(int)).mean() < 1.0

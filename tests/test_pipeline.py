@@ -185,6 +185,12 @@ def test_full_fg_color_command(session_env):
                          "7_records.json"))
     assert rec[-1]["colorization_type"] == "FG"
     assert rec[-1]["result_name"] == "7_1.png"
+    # ungated pixel-content golden (fresh seed-0 session, first command;
+    # recorded 2026-08-16 on the CPU backend): catches refactors that
+    # silently change output imagery
+    img = np.array(Image.open(out_path).convert("RGB"))
+    np.testing.assert_allclose(img.mean(), 235.70068359375, rtol=2e-3)
+    np.testing.assert_allclose(img.std(), 67.44525238921713, rtol=2e-3)
 
     # forcing a known instance exercises the GAN + paste path
     out2 = session.colorize_foreground(7, "the bus is yellow", [0],
@@ -199,6 +205,11 @@ def test_full_bg_color_command_and_withdraw(session_env):
     tmp_path, cfg, session = session_env
     out_path = session.colorize(7, "the sky is blue and the ground is green")
     assert os.path.isfile(out_path)
+    # ungated pixel-content golden (second command on the seed-0 session,
+    # base image 7_1.png; recorded 2026-08-16, CPU backend)
+    img_g = np.array(Image.open(out_path).convert("RGB"))
+    np.testing.assert_allclose(img_g.mean(), 144.49169921875, rtol=2e-3)
+    np.testing.assert_allclose(img_g.std(), 80.91867197418517, rtol=2e-3)
     rec = json.load(open(tmp_path / "outputs" / "update_records" /
                          "7_records.json"))
     assert rec[-1]["colorization_type"] == "BG"
