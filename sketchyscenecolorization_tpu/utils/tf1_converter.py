@@ -152,6 +152,201 @@ def merge_converted(params: Params, converted: Params) -> Params:
     return merge(params, converted)
 
 
+# ------------------------------------------------- alternate RMI backbones
+
+def fcn8s_name_map() -> Dict[str, Tuple[str, ...]]:
+    """{tf_name: our-tree path} for the FCN-8s backbone
+    (``fcn8s_model.py:8-53`` VGG stack under scope FCN_8s, fc6/7/8
+    :118-133, deconv1-3 :134-156; leaves DW/bias).  Deconv filters are
+    [kh, kw, out, in] in TF -- pass through ``swap_deconv_filter``."""
+    from ..models.backbones import VGG_LAYERS
+    s = "FCN_8s"
+    m: Dict[str, Tuple[str, ...]] = {}
+    names = [spec[0] for spec in VGG_LAYERS if spec[0].startswith("conv")]
+    names += ["fc6", "fc7", "fc8", "deconv1", "deconv2", "deconv3"]
+    for name in names:
+        m[f"{s}/{name}/DW"] = (s, name, "DW")
+        m[f"{s}/{name}/bias"] = (s, name, "bias")
+    return m
+
+
+def convert_fcn8s(tf_vars: TFVars, strict: bool = False) -> Params:
+    name_map = fcn8s_name_map()
+    tree: Params = {}
+    missing: List[str] = []
+    for tf_name, path in name_map.items():
+        if tf_name not in tf_vars:
+            missing.append(tf_name)
+            continue
+        value = np.asarray(tf_vars[tf_name])
+        if "/deconv" in tf_name and path[-1] == "DW":
+            value = swap_deconv_filter(value)
+        _set_path(tree, path, value)
+    if strict and missing:
+        raise KeyError(f"{len(missing)} variables missing, first: {missing[:5]}")
+    return tree
+
+
+def load_vgg19_mat(path: str) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """imagenet-vgg-verydeep-19.mat -> {conv name: (kernel HWIO, bias [C])}.
+
+    Reproduces the reference loader exactly (``fcn8s_model.py:8-44``,
+    ``utils/tensorflow_util.py:47-51``): layer i of the squeezed matconvnet
+    'layers' cell array holds (kernels, bias) at [i][0][0][0][0]; matconvnet
+    kernels are [width, height, in, out] and transpose to TF's
+    [height, width, in, out]."""
+    import scipy.io
+    data = scipy.io.loadmat(path)
+    layers = np.squeeze(data["layers"])
+    layer_names = (
+        "conv1_1", "relu1_1", "conv1_2", "relu1_2", "pool1",
+        "conv2_1", "relu2_1", "conv2_2", "relu2_2", "pool2",
+        "conv3_1", "relu3_1", "conv3_2", "relu3_2", "conv3_3",
+        "relu3_3", "conv3_4", "relu3_4", "pool3",
+        "conv4_1", "relu4_1", "conv4_2", "relu4_2", "conv4_3",
+        "relu4_3", "conv4_4", "relu4_4", "pool4",
+        "conv5_1", "relu5_1", "conv5_2", "relu5_2", "conv5_3",
+        "relu5_3", "conv5_4", "relu5_4",
+    )
+    out: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    for i, name in enumerate(layer_names):
+        if not name.startswith("conv"):
+            continue
+        kernels, bias = layers[i][0][0][0][0]
+        out[name] = (np.transpose(kernels, (1, 0, 2, 3)).astype(np.float32),
+                     np.asarray(bias).reshape(-1).astype(np.float32))
+    return out
+
+
+def vgg19_to_fcn8s(vgg: Dict[str, Tuple[np.ndarray, np.ndarray]]) -> Params:
+    """VGG-19 conv weights -> a partial FCN_8s tree (the reference's
+    ``use_vgg_weight=True`` initialization covers the conv stack only);
+    overlay with ``merge_converted``."""
+    tree: Params = {"FCN_8s": {}}
+    for name, (dw, bias) in vgg.items():
+        tree["FCN_8s"][name] = {"DW": dw, "bias": bias}
+    return tree
+
+
+SEGNET_REF_LAYERS = [
+    ("enc_1", 2), ("enc_2", 2), ("enc_3", 3), ("enc_4", 3), ("enc_5", 3),
+    ("dec_5", 3), ("dec_4", 2),      # dec_4/conv3 is commented out upstream
+    ("dec_3", 3), ("dec_2", 2), ("dec_1", 2),
+]
+
+
+def segnet_name_map(through_intermediate_only: bool = True
+                    ) -> Dict[str, Tuple[str, ...]]:
+    """{tf_name: our-tree path} for SegNet (``segnet_model.py:55-148``):
+    conv leaves DW/biases; the contrib ``batch_norm`` beta uniquifies as
+    BatchNorm, BatchNorm_1, ... per enclosing enc/dec scope (creation
+    order = conv order).  Default maps only the layers the RMI intermediate
+    exit consumes (through dec_4/conv2): the reference's deeper decoder is
+    channel-inconsistent (its dec_4 256-reduction is commented out), so its
+    dec_3+ variables have shapes our repaired decoder deliberately does not
+    reproduce -- see PARITY.md 'Known deltas'."""
+    s = "SegNet"
+    m: Dict[str, Tuple[str, ...]] = {}
+    layers = SEGNET_REF_LAYERS
+    if through_intermediate_only:
+        layers = [(n, k) for n, k in layers
+                  if n.startswith("enc") or n in ("dec_5", "dec_4")]
+    for scope, n_convs in layers:
+        for i in range(n_convs):
+            conv = f"conv{i + 1}"
+            m[f"{s}/{scope}/{conv}/DW"] = (s, scope, conv, "DW")
+            m[f"{s}/{scope}/{conv}/biases"] = (s, scope, conv, "biases")
+            bn = "BatchNorm" if i == 0 else f"BatchNorm_{i}"
+            m[f"{s}/{scope}/{bn}/beta"] = (s, scope, conv, "bn_beta")
+    return m
+
+
+def convert_segnet(tf_vars: TFVars, strict: bool = False,
+                   through_intermediate_only: bool = True) -> Params:
+    name_map = segnet_name_map(through_intermediate_only)
+    tree: Params = {}
+    missing: List[str] = []
+    for tf_name, path in name_map.items():
+        if tf_name not in tf_vars:
+            missing.append(tf_name)
+            continue
+        _set_path(tree, path, np.asarray(tf_vars[tf_name]))
+    if strict and missing:
+        raise KeyError(f"{len(missing)} variables missing, first: {missing[:5]}")
+    return tree
+
+
+V3P_BN_LEAVES = (("beta", "beta"), ("gamma", "gamma"),
+                 ("moving_mean", "mean"), ("moving_variance", "variance"))
+V3P_NUM_UNITS = (3, 4, 23, 3)
+
+
+def deeplab_v3plus_name_map() -> Dict[str, Tuple[str, ...]]:
+    """{tf_name: our-tree path} for DeepLab-v3+ (slim scopes:
+    root ``resnet_v1_101/conv1_{1,2,3}`` from the beta root block
+    (``deeplab_v3plus_model.py:68-84``), bottleneck units
+    ``resnet_v1_101/block{b}/unit_{u}/bottleneck_v1/*`` (:11-61), ASPP
+    ``image_pooling/aspp0/aspp{1,2,3}_{depthwise,pointwise}/concat_projection``
+    (:605-651), decoder ``decoder/feature_projection0``/``decoder_conv{0,1}``
+    (:756-848), and ``logits/logits`` (:891-911)).  slim conv weights are
+    'weights' (HWIO, bias-free under BN); depthwise kernels are
+    'depthwise_weights' [kh, kw, in, 1] -- both copy verbatim."""
+    r = "resnet_v1_101"
+    m: Dict[str, Tuple[str, ...]] = {}
+
+    def conv_bn(tf_scope: str, path: Tuple[str, ...]) -> None:
+        m[f"{tf_scope}/weights"] = path + ("DW",)
+        for tf_leaf, ours in V3P_BN_LEAVES:
+            m[f"{tf_scope}/BatchNorm/{tf_leaf}"] = path + ("bn", ours)
+
+    def sep_conv(tf_scope: str, path: Tuple[str, ...]) -> None:
+        m[f"{tf_scope}_depthwise/depthwise_weights"] = \
+            path + ("depthwise", "DW")
+        for tf_leaf, ours in V3P_BN_LEAVES:
+            m[f"{tf_scope}_depthwise/BatchNorm/{tf_leaf}"] = \
+                path + ("depthwise", "bn", ours)
+        m[f"{tf_scope}_pointwise/weights"] = path + ("pointwise", "DW")
+        for tf_leaf, ours in V3P_BN_LEAVES:
+            m[f"{tf_scope}_pointwise/BatchNorm/{tf_leaf}"] = \
+                path + ("pointwise", "bn", ours)
+
+    for i in (1, 2, 3):
+        conv_bn(f"{r}/conv1_{i}", (r, "root", f"conv1_{i}"))
+    for b, units in enumerate(V3P_NUM_UNITS, 1):
+        for u in range(1, units + 1):
+            base = f"{r}/block{b}/unit_{u}/bottleneck_v1"
+            path = (r, f"block{b}", f"unit_{u}")
+            for conv in ("conv1", "conv2", "conv3"):
+                conv_bn(f"{base}/{conv}", path + (conv,))
+            if u == 1:
+                conv_bn(f"{base}/shortcut", path + ("shortcut",))
+    conv_bn("image_pooling", (r, "aspp", "image_pooling"))
+    conv_bn("aspp0", (r, "aspp", "aspp0"))
+    for i in (1, 2, 3):
+        sep_conv(f"aspp{i}", (r, "aspp", f"aspp{i}"))
+    conv_bn("concat_projection", (r, "aspp", "concat_projection"))
+    conv_bn("decoder/feature_projection0", (r, "decoder", "feature_projection"))
+    sep_conv("decoder/decoder_conv0", (r, "decoder", "decoder_conv0"))
+    sep_conv("decoder/decoder_conv1", (r, "decoder", "decoder_conv1"))
+    m["logits/logits/weights"] = (r, "logits", "DW")
+    m["logits/logits/biases"] = (r, "logits", "biases")
+    return m
+
+
+def convert_deeplab_v3plus(tf_vars: TFVars, strict: bool = False) -> Params:
+    name_map = deeplab_v3plus_name_map()
+    tree: Params = {}
+    missing: List[str] = []
+    for tf_name, path in name_map.items():
+        if tf_name not in tf_vars:
+            missing.append(tf_name)
+            continue
+        _set_path(tree, path, np.asarray(tf_vars[tf_name]))
+    if strict and missing:
+        raise KeyError(f"{len(missing)} variables missing, first: {missing[:5]}")
+    return tree
+
+
 # ---------------------------------------------------------------- BG GAN
 
 BG_NUM_RESIDUAL_UNITS = (3, 4, 6, 3)

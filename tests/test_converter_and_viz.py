@@ -171,3 +171,122 @@ def test_matching_map_covers_alt_fusion_trees():
         converted = convert_matching(tf_vars, cfg, strict=True)
         for path, leaf in _flatten(converted).items():
             np.testing.assert_array_equal(leaf, flat[path])
+
+
+# -------------------------------------------- alternate matching backbones
+
+def test_fcn8s_map_covers_tree_and_roundtrips():
+    from sketchyscenecolorization_tpu.models.backbones import fcn8s
+    from sketchyscenecolorization_tpu.utils.tf1_converter import (
+        convert_fcn8s, fcn8s_name_map, swap_deconv_filter)
+    params = fcn8s.init_params(jax.random.PRNGKey(0), num_classes=5)
+    flat = _flatten(params)
+    name_map = fcn8s_name_map()
+    assert set(name_map.values()) == set(flat.keys())
+    # fabricate a TF checkpoint: deconv filters go back to [kh, kw, out, in]
+    tf_vars = {}
+    for tf_name, path in name_map.items():
+        v = flat[path]
+        if "/deconv" in tf_name and path[-1] == "DW":
+            v = swap_deconv_filter(v)
+        tf_vars[tf_name] = v
+    converted = convert_fcn8s(tf_vars, strict=True)
+    for path, leaf in _flatten(converted).items():
+        np.testing.assert_array_equal(leaf, flat[path])
+
+
+def test_vgg19_mat_loader_and_overlay(tmp_path):
+    """Synthetic imagenet-vgg-verydeep-19.mat with the exact matconvnet cell
+    nesting; the loader must transpose [w,h,in,out] -> [h,w,in,out] and the
+    overlay must land on the FCN_8s conv stack."""
+    import scipy.io
+    from sketchyscenecolorization_tpu.models.backbones import VGG_LAYERS, fcn8s
+    from sketchyscenecolorization_tpu.utils.tf1_converter import (
+        load_vgg19_mat, merge_converted, vgg19_to_fcn8s)
+
+    layer_names = []
+    for spec in VGG_LAYERS:
+        name = spec[0]
+        if name.startswith("conv"):
+            layer_names += [name, "relu" + name[4:]]
+        else:
+            layer_names.append(name)
+    conv_shapes = {spec[0]: (spec[1], spec[2])
+                   for spec in VGG_LAYERS if spec[0].startswith("conv")}
+
+    rng = np.random.RandomState(0)
+    cells = np.empty((1, len(layer_names)), object)
+    expected = {}
+    for i, name in enumerate(layer_names):
+        if name.startswith("conv"):
+            cin, cout = conv_shapes[name]
+            k = rng.randn(3, 3, cin, cout).astype(np.float32)  # [w,h,in,out]
+            b = rng.randn(1, cout).astype(np.float32)
+            expected[name] = (np.transpose(k, (1, 0, 2, 3)), b.reshape(-1))
+            w = np.empty((1, 2), object)
+            w[0, 0], w[0, 1] = k, b
+            st = np.zeros((1, 1), dtype=[("weights", object), ("type", object)])
+            st[0, 0]["weights"] = w
+            st[0, 0]["type"] = np.array(["conv"])
+            cells[0, i] = st
+        else:
+            st = np.zeros((1, 1), dtype=[("type", object)])
+            st[0, 0]["type"] = np.array([name[:4]])
+            cells[0, i] = st
+    mat_path = str(tmp_path / "vgg19.mat")
+    scipy.io.savemat(mat_path, {"layers": cells})
+
+    vgg = load_vgg19_mat(mat_path)
+    assert set(vgg.keys()) == set(conv_shapes.keys())
+    for name, (dw, bias) in vgg.items():
+        np.testing.assert_array_equal(dw, expected[name][0])
+        np.testing.assert_array_equal(bias, expected[name][1])
+
+    params = fcn8s.init_params(jax.random.PRNGKey(0), num_classes=5)
+    merged = merge_converted(params, vgg19_to_fcn8s(vgg))
+    np.testing.assert_array_equal(merged["FCN_8s"]["conv3_2"]["DW"],
+                                  expected["conv3_2"][0])
+    # non-VGG layers untouched
+    np.testing.assert_array_equal(merged["FCN_8s"]["fc6"]["DW"],
+                                  params["FCN_8s"]["fc6"]["DW"])
+
+
+def test_segnet_map_roundtrips_through_intermediate():
+    """The SegNet map covers exactly the layers the RMI intermediate exit
+    consumes (enc_1..enc_5, dec_5, dec_4 conv1-2); the repaired deeper
+    decoder (reference's is channel-inconsistent and unused) stays
+    unmapped -- a documented delta."""
+    from sketchyscenecolorization_tpu.models.backbones import segnet
+    from sketchyscenecolorization_tpu.utils.tf1_converter import (
+        convert_segnet, segnet_name_map)
+    params = segnet.init_params(jax.random.PRNGKey(0), num_classes=5)
+    flat = _flatten(params)
+    name_map = segnet_name_map()
+    mapped = set(name_map.values())
+    assert mapped <= set(flat.keys())
+    unmapped_scopes = {p[1] for p in set(flat.keys()) - mapped}
+    assert unmapped_scopes == {"dec_4", "dec_3", "dec_2", "dec_1"}
+    # dec_4 conv1/conv2 ARE mapped; only its repaired conv3 is not
+    assert ("SegNet", "dec_4", "conv2", "DW") in mapped
+    assert ("SegNet", "dec_4", "conv3", "DW") not in mapped
+
+    tf_vars = {n: flat[p] for n, p in name_map.items()}
+    converted = convert_segnet(tf_vars, strict=True)
+    for path, leaf in _flatten(converted).items():
+        np.testing.assert_array_equal(leaf, flat[path])
+
+
+def test_deeplab_v3plus_map_covers_tree_and_roundtrips():
+    from sketchyscenecolorization_tpu.models.backbones import deeplab_v3plus
+    from sketchyscenecolorization_tpu.utils.tf1_converter import (
+        convert_deeplab_v3plus, deeplab_v3plus_name_map)
+    params = deeplab_v3plus.init_params(jax.random.PRNGKey(0), num_classes=5)
+    flat = _flatten(params)
+    name_map = deeplab_v3plus_name_map()
+    assert set(name_map.values()) == set(flat.keys()), (
+        sorted(set(map("/".join, name_map.values()))
+               ^ set(map("/".join, flat.keys())))[:12])
+    tf_vars = {n: flat[p] for n, p in name_map.items()}
+    converted = convert_deeplab_v3plus(tf_vars, strict=True)
+    for path, leaf in _flatten(converted).items():
+        np.testing.assert_array_equal(leaf, flat[path])
