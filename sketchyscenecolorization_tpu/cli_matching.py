@@ -93,9 +93,11 @@ def main(argv=None) -> int:
         from .train import eval_matching
         result = eval_matching(
             engine.predict_mask,
-            os.path.join(args.data_base_dir, args.dataset),
-            os.path.join(args.captions_base_dir,
-                         f"sentence_instance_{args.dataset}.json"),
+            predict_batch_fn=engine.predict_masks,
+            dataset_base_dir=os.path.join(args.data_base_dir, args.dataset),
+            caption_json_path=os.path.join(
+                args.captions_base_dir,
+                f"sentence_instance_{args.dataset}.json"),
             seg_data_base_dir=os.path.join(args.seg_data_base_dir, args.dataset)
             if not args.no_mask_ap else None,
             compute_mask_ap=not args.no_mask_ap,

@@ -121,12 +121,23 @@ def eval_matching(predict_fn: Callable[[np.ndarray, str], np.ndarray],
                   compute_mask_ap: bool = True,
                   result_path: Optional[str] = None,
                   augment: bool = True,
-                  max_samples: Optional[int] = None):
+                  max_samples: Optional[int] = None,
+                  predict_batch_fn: Optional[
+                      Callable[[np.ndarray, list], np.ndarray]] = None):
     """``matching_main.test`` (:244-417): cumulative IoU, precision@X,
     instance mAP@[0.5:0.95] over a split.
 
     ``predict_fn(image_uint8, caption) -> binary [768,768] mask`` -- a
-    ``MatchingEngine.predict_mask`` bound method in production."""
+    ``MatchingEngine.predict_mask`` bound method in production.
+
+    Throughput design (the reference reloads the per-image GT .mat and runs
+    one sess.run per caption, serially, ``matching_main.py:269-339``): GT
+    loading runs on a background worker (single worker: order, and hence
+    the augmentation RNG stream, is preserved), and when
+    ``predict_batch_fn(image, captions) -> [M, H, W]`` is given (a
+    ``MatchingEngine.predict_masks`` bound method -- bitwise equal to M
+    single calls) the backbone runs once per image instead of once per
+    caption."""
     import json as _json
     import random as _random
     from ..data.matching_dataset import load_data_gt
@@ -137,31 +148,41 @@ def eval_matching(predict_fn: Callable[[np.ndarray, str], np.ndarray],
     evaluator = MatchingEvaluator(compute_mask_ap=compute_mask_ap)
     rng = _random.Random(0)
 
+    def load(i):
+        entry = json_data[i]
+        return entry, load_data_gt(dataset_base_dir, entry["key"])
+
+    gen = BackgroundGenerator(load, num_steps=len(json_data), num_workers=1)
     done = 0
-    for entry in json_data:
+    for entry, (sketch, gt_class_ids, gt_bboxes, gt_masks) in gen:
         img_idx = entry["key"]
-        sketch, gt_class_ids, gt_bboxes, gt_masks = load_data_gt(
-            dataset_base_dir, img_idx)
         sketch_u8 = sketch.astype(np.uint8)
         seg_npz = (os.path.join(seg_data_base_dir, "seg_data",
                                 f"{img_idx}_datas.npz")
                    if seg_data_base_dir else None)
-        for caption, inst_indices in entry["sen_instIdx_map"].items():
+        items = list(entry["sen_instIdx_map"].items())
+        if max_samples:
+            items = items[:max(0, max_samples - done)]
+        captions = [augment_caption_with_attr(c, rng) if augment else c
+                    for c, _ in items]
+        if predict_batch_fn is not None and captions:
+            all_predicts = predict_batch_fn(sketch_u8, captions)
+        else:
+            all_predicts = None
+        for k, (caption, inst_indices) in enumerate(items):
             target = np.zeros(gt_masks.shape[:2], np.int32)
             cap_gt = np.zeros((*gt_masks.shape[:2], len(inst_indices)), np.int32)
             for t_i, inst_idx in enumerate(inst_indices):
                 target = np.logical_or(target, gt_masks[:, :, inst_idx])
                 cap_gt[:, :, t_i] = gt_masks[:, :, inst_idx]
-            if augment:
-                caption = augment_caption_with_attr(caption, rng)
-            predicts = predict_fn(sketch_u8, caption)
+            predicts = (all_predicts[k] if all_predicts is not None
+                        else predict_fn(sketch_u8, captions[k]))
             evaluator.add(predicts, target,
                           cap_gt if compute_mask_ap and seg_npz else None,
                           seg_npz)
             done += 1
-            if max_samples and done >= max_samples:
-                break
         if max_samples and done >= max_samples:
+            gen.close()
             break
 
     result = evaluator.result()

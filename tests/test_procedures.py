@@ -103,6 +103,13 @@ def test_eval_matching_loop_with_stub_predictor(tmp_path, monkeypatch):
                             caps, compute_mask_ap=False, augment=False)
     assert result2.cum_iou == 0.0
 
+    # the batched path (backbone once per image) must give the same result
+    result3 = eval_matching(
+        None, base, caps, compute_mask_ap=False, augment=False,
+        predict_batch_fn=lambda im, captions: np.stack(
+            [gt_mask.copy() for _ in captions]))
+    assert result3.cum_iou == 1.0
+
 
 def test_bg_test_procedure(tmp_path):
     from sketchyscenecolorization_tpu.data import BGDataset
