@@ -17,6 +17,28 @@ import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
 
+# Modules dominated by XLA compiles of real models (minutes each on the
+# single-CPU test box).  `-m "not heavy"` is the documented fast gate: the
+# pure-Python/oracle/small-op modules complete in a couple of minutes.
+HEAVY_MODULES = {
+    "test_pipeline", "test_pipeline_serving", "test_e2e_reference_examples",
+    "test_dtype_policy", "test_backbones", "test_inception", "test_train",
+    "test_rmi", "test_fg_gan", "test_fg_gan_variants", "test_bg_gan",
+    "test_goldens", "test_procedures", "test_converter_and_viz",
+    "test_pallas_mlstm", "test_data_and_harness",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "heavy: compile-bound model tests (fast gate: -m 'not heavy')")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in HEAVY_MODULES:
+            item.add_marker(pytest.mark.heavy)
+
 
 @pytest.fixture(scope="session")
 def reference_dir():
