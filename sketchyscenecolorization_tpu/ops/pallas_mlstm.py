@@ -100,6 +100,12 @@ def mlstm_pallas(pixel_term: jnp.ndarray,   # [N, P, 4H] f32
         out_specs=pl.BlockSpec((1, tile_p, hidden), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, p + pad, hidden), jnp.float32),
+        # the double-buffered pixel/out tiles plus the whole [H, 4H] weight
+        # block exceed the default 16 MB scoped-vmem budget for the larger
+        # LSTMs (BG fusion: H=1024 -> the weight block alone is 16 MB);
+        # v5e has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(valid.astype(jnp.int32), pixel_term.astype(jnp.float32),
       step_term.astype(jnp.float32), w_h.astype(jnp.float32))
@@ -149,6 +155,12 @@ def _mlstm_bwd_kernel(valid_ref, pixel_ref, step_ref, wh_ref, g_ref,
     grid runs sequentially on the core, so the kernel zero-initializes them
     on first visit and accumulates in place, avoiding materialized
     per-tile partials.
+
+    All three gradient accumulators read-modify-write their VMEM refs
+    inside the step loop rather than accumulating in kernel-local values:
+    a local dwh is [H, 4H] (16 MB for the BG fusion's H=1024) live across
+    the whole unrolled loop, which the register allocator can only spill
+    (measured: 110 MB of spill slots -> VMEM OOM at H=1024).
     """
     i_b = pl.program_id(0)
     j_t = pl.program_id(1)
@@ -176,11 +188,9 @@ def _mlstm_bwd_kernel(valid_ref, pixel_ref, step_ref, wh_ref, g_ref,
     def _init_dwh():
         dwh_ref[...] = jnp.zeros_like(dwh_ref[...])
 
+    dpix_ref[0] = jnp.zeros_like(dpix_ref[0])
     dh = g_ref[0]
     dc = jnp.zeros((tile, hidden), jnp.float32)
-    dpix = jnp.zeros((tile, 4 * hidden), jnp.float32)
-    dwh = jnp.zeros((hidden, 4 * hidden), jnp.float32)
-    dstep_rows = []                      # built T-1..0, stacked reversed
     for t in range(t_max - 1, -1, -1):
         keep = valid_ref[i_b, t] > 0
         h_prev = h_stack[t]
@@ -203,17 +213,15 @@ def _mlstm_bwd_kernel(valid_ref, pixel_ref, step_ref, wh_ref, g_ref,
         dgates = jnp.concatenate([di, dj, df, do], axis=-1)
         dgates = jnp.where(keep, dgates, 0.0)
 
-        dpix = dpix + dgates
-        dstep_rows.append(jnp.sum(dgates, axis=0))
-        dwh = dwh + jnp.dot(h_prev.T, dgates,
-                            preferred_element_type=jnp.float32)
+        dpix_ref[0] = dpix_ref[0] + dgates
+        dstep_ref[0, t:t + 1] = dstep_ref[0, t:t + 1] \
+            + jnp.sum(dgates, axis=0, keepdims=True)
+        dwh_ref[...] = dwh_ref[...] + jnp.dot(
+            h_prev.T, dgates, preferred_element_type=jnp.float32)
         dh_new = jnp.dot(dgates, wh_ref[:].T,
                          preferred_element_type=jnp.float32)
         dh = jnp.where(keep, dh_new, dh)
         dc = jnp.where(keep, dct * sf, dc)
-    dpix_ref[0] = dpix
-    dstep_ref[0] = dstep_ref[0] + jnp.stack(dstep_rows[::-1])
-    dwh_ref[...] = dwh_ref[...] + dwh
 
 
 DEFAULT_BWD_TILE_P = 128  # the h/c trajectory stacks live in VMEM scratch:

@@ -66,4 +66,8 @@ def test_full_pipeline_on_reference_examples(tmp_path):
     np.testing.assert_allclose(img3.mean(axis=(0, 1)), g["bg_mean"], atol=1.0)
     np.testing.assert_allclose(img3.std(axis=(0, 1)), g["bg_std"], atol=2.0)
     crop3 = img3[40:104, 40:104]
-    assert np.abs(crop3.astype(int) - g["bg_crop"].astype(int)).mean() < 1.0
+    # looser than the FG crop: the BG generator's ~50 batch-stats BN layers
+    # amplify f32 reduction-order noise (e.g. thread-count changes) into
+    # few-unit pixel shifts; a *content* change (different base image or
+    # color) moves this crop by tens of units
+    assert np.abs(crop3.astype(int) - g["bg_crop"].astype(int)).mean() < 6.0
