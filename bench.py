@@ -241,6 +241,7 @@ def bench_train():
         state[0], metrics = step(state[0], batch)
         float(metrics["cls_loss"])
     out["matching_sec_per_step"] = round(timed_steps(m_step), 4)
+    _progress("train.matching_sec_per_step", out["matching_sec_per_step"])
 
     # FG GAN: batch 2 at 192^2 (reference default)
     fcfg = FGGanConfig()
@@ -266,6 +267,7 @@ def bench_train():
         fstate[0], metrics = fstep(fstate[0], bd, bg_, frng)
         float(metrics["loss_g"])
     out["fg_gan_sec_per_iter"] = round(timed_steps(f_step), 4)
+    _progress("train.fg_gan_sec_per_iter", out["fg_gan_sec_per_iter"])
 
     # BG GAN: batch 1 at 768^2 (reference default)
     bcfg = BGGanConfig()
@@ -285,6 +287,12 @@ def bench_train():
     return out
 
 
+def _progress(name, value):
+    """Stream each section's result to stderr the moment it exists, so a
+    crash/timeout in a later section doesn't lose completed measurements."""
+    print(f"[bench] {name}: {json.dumps(value)}", file=sys.stderr, flush=True)
+
+
 def main():
     detail = {}
     out_root = tempfile.mkdtemp(prefix="bench_pipe_")
@@ -296,13 +304,16 @@ def main():
         seq_rates = bench_pipeline(session, FG_TEXTS, PASSES, ROUNDS)
         detail["pipeline_seq_passes_per_sec"] = _stats(seq_rates)
         detail["avg_instances_per_pass"] = round(count_instances(session), 2)
+        _progress("pipeline_seq", detail["pipeline_seq_passes_per_sec"])
 
         stream_rates = bench_pipeline(session, FG_TEXTS, PASSES,
                                       max(3, ROUNDS - 2), stream=True)
         detail["pipeline_stream_passes_per_sec"] = _stats(stream_rates)
+        _progress("pipeline_stream", detail["pipeline_stream_passes_per_sec"])
 
         bg_rates = bench_pipeline(session, BG_TEXTS, 4, 3)
         detail["bg_passes_per_sec"] = _stats(bg_rates)
+        _progress("bg", detail["bg_passes_per_sec"])
 
         # --- cold: the ResNet-101 backbone re-runs every instruction (the
         # reference recomputes everything per command)
@@ -310,6 +321,7 @@ def main():
                              out_dir=os.path.join(out_root, "cold"))
         cold_rates = bench_pipeline(cold, FG_TEXTS, max(6, PASSES // 2), 3)
         detail["pipeline_cold_backbone_passes_per_sec"] = _stats(cold_rates)
+        _progress("pipeline_cold", detail["pipeline_cold_backbone_passes_per_sec"])
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 
@@ -318,8 +330,10 @@ def main():
     detail["device_only_passes_per_sec"] = _stats(dev_rates)
     if flops:
         detail["device_gflops_per_pass"] = flops
+    _progress("device_only", detail["device_only_passes_per_sec"])
     dev16_rates, _ = bench_device_only("bfloat16")
     detail["device_only_bf16_passes_per_sec"] = _stats(dev16_rates)
+    _progress("device_only_bf16", detail["device_only_bf16_passes_per_sec"])
     detail["bf16_note"] = (
         "XLA default matmul precision already runs f32 convs as one bf16 "
         "MXU pass; the bf16 policy additionally stores activations at half "
@@ -327,6 +341,7 @@ def main():
 
     if RUN_TRAIN:
         detail["train"] = bench_train()
+        _progress("train", detail["train"])
 
     value = statistics.median(seq_rates)
     print(json.dumps({
