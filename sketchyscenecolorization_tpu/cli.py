@@ -20,6 +20,11 @@ def make_parser() -> argparse.ArgumentParser:
                    default="color")
     p.add_argument("--image_id", "-id", type=int, default=-1)
     p.add_argument("--instruction", "-it", type=str, default="")
+    p.add_argument("--instructions", type=str, default="",
+                   help="';'-separated queue served via colorize_stream: "
+                        "consecutive FG instructions share one matching and "
+                        "one GAN dispatch (same outputs/records as issuing "
+                        "them one by one)")
     p.add_argument("--data_base_dir", "-dbd", type=str, default="examples")
     p.add_argument("--results_base_dir", "-rbd", type=str, default="outputs")
     p.add_argument("--match_ckpt_dir", type=str, default="checkpoints/matching")
@@ -57,9 +62,16 @@ def main(argv=None) -> int:
         print("withdrew last record for image", args.image_id)
         return 0
 
-    if not args.instruction:
-        raise SystemExit("--instruction is required for the color command")
+    if not args.instruction and not args.instructions:
+        raise SystemExit(
+            "--instruction (or --instructions) is required for the color command")
     session = build_session(cfg, seed=args.seed)
+    if args.instructions:
+        texts = [t.strip() for t in args.instructions.split(";") if t.strip()]
+        for out_path in session.colorize_stream(args.image_id, texts):
+            print("saved:", out_path)
+        session.flush()
+        return 0
     out_path = session.colorize(args.image_id, args.instruction)
     print("saved:", out_path)
     return 0
