@@ -79,6 +79,9 @@ def mlstm_pallas(pixel_term: jnp.ndarray,   # [N, P, 4H] f32
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # small pixel batches (FG text fusion: P=6*6) shrink the tile instead of
+    # padding up to it -- the TPU block rule only needs 8-row alignment
+    tile_p = min(tile_p, -(-p // 8) * 8)
     pad = (-p) % tile_p
     if pad:
         pixel_term = jnp.pad(pixel_term, ((0, 0), (0, pad), (0, 0)))
@@ -244,6 +247,7 @@ def mlstm_pallas_bwd(pixel_term, step_term, w_h, valid, g,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    tile_p = min(tile_p, -(-p // 8) * 8)
     pad = (-p) % tile_p
     if pad:
         pixel_term = jnp.pad(pixel_term, ((0, 0), (0, pad), (0, 0)))
