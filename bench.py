@@ -200,6 +200,48 @@ def bench_device_only(compute_dtype: str):
     return rates, flops
 
 
+# ------------------------------------------------------- mLSTM kernel A/B
+
+def bench_mlstm_kernel():
+    """Fused Pallas recurrence vs the lax.scan formulation, fwd+bwd at the
+    matching model's full size (P=96*96, H=500, T=15) -- the hottest op.
+    Chained-digest timing (each iter's scalar feeds the next input)."""
+    import numpy as np
+    from sketchyscenecolorization_tpu.ops.pallas_mlstm import (
+        masked_pixel_lstm, mlstm_scan)
+    rng = np.random.RandomState(0)
+    p, hid, t = 96 * 96, 500, 15
+    pixel = jnp.asarray(rng.randn(1, p, 4 * hid).astype(np.float32) * 0.1)
+    step = jnp.asarray(rng.randn(1, t, 4 * hid).astype(np.float32) * 0.1)
+    w_h = jnp.asarray(rng.randn(hid, 4 * hid).astype(np.float32) * 0.02)
+    valid = jnp.asarray(np.ones((1, t), bool))
+
+    def timed(f):
+        @jax.jit
+        def fwd_bwd(pt, st, wh, carry):
+            def loss(args):
+                return jnp.sum(f(*args, valid) ** 2)
+            val, grads = jax.value_and_grad(loss)((pt + carry * 1e-12, st, wh))
+            return carry + val * 1e-9 + sum(jnp.sum(g) for g in grads) * 1e-9
+
+        zero = jnp.zeros((), jnp.float32)
+        float(fwd_bwd(pixel, step, w_h, zero))
+        latency = _fetch_latency()
+        best = float("inf")
+        iters = 8
+        for _ in range(3):
+            t0 = time.perf_counter()
+            carry = zero
+            for _ in range(iters):
+                carry = fwd_bwd(pixel, step, w_h, carry)
+            float(carry)
+            best = min(best, (time.perf_counter() - t0 - latency) / iters)
+        return round(best * 1e3, 2)
+
+    return {"fused_fwd_bwd_ms": timed(masked_pixel_lstm),
+            "scan_fwd_bwd_ms": timed(mlstm_scan)}
+
+
 # ------------------------------------------------------------------ train
 
 def bench_train():
@@ -293,57 +335,85 @@ def _progress(name, value):
     print(f"[bench] {name}: {json.dumps(value)}", file=sys.stderr, flush=True)
 
 
+def _section(detail, name, fn):
+    """Run one bench section fail-soft: a crash (tunnel hiccup, compile
+    regression) records an error entry instead of losing the whole JSON."""
+    try:
+        result = fn()
+    except Exception as e:                                 # noqa: BLE001
+        detail[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+        _progress(name, detail[f"{name}_error"])
+        return None
+    _progress(name, result)
+    return result
+
+
 def main():
     detail = {}
+    seq_rates = None
     out_root = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
         # --- full interactive pipeline (warm per-image cache: the session
         # serves many instructions against one image, the product default)
         session = build_session(cache_visual=True,
                                 out_dir=os.path.join(out_root, "warm"))
-        seq_rates = bench_pipeline(session, FG_TEXTS, PASSES, ROUNDS)
-        detail["pipeline_seq_passes_per_sec"] = _stats(seq_rates)
-        detail["avg_instances_per_pass"] = round(count_instances(session), 2)
-        _progress("pipeline_seq", detail["pipeline_seq_passes_per_sec"])
+        seq_rates = _section(
+            detail, "pipeline_seq",
+            lambda: bench_pipeline(session, FG_TEXTS, PASSES, ROUNDS))
+        if seq_rates:
+            detail["pipeline_seq_passes_per_sec"] = _stats(seq_rates)
+            detail["avg_instances_per_pass"] = round(count_instances(session), 2)
 
-        stream_rates = bench_pipeline(session, FG_TEXTS, PASSES,
-                                      max(3, ROUNDS - 2), stream=True)
-        detail["pipeline_stream_passes_per_sec"] = _stats(stream_rates)
-        _progress("pipeline_stream", detail["pipeline_stream_passes_per_sec"])
+        r = _section(detail, "pipeline_stream",
+                     lambda: bench_pipeline(session, FG_TEXTS, PASSES,
+                                            max(3, ROUNDS - 2), stream=True))
+        if r:
+            detail["pipeline_stream_passes_per_sec"] = _stats(r)
 
-        bg_rates = bench_pipeline(session, BG_TEXTS, 4, 3)
-        detail["bg_passes_per_sec"] = _stats(bg_rates)
-        _progress("bg", detail["bg_passes_per_sec"])
+        r = _section(detail, "bg",
+                     lambda: bench_pipeline(session, BG_TEXTS, 4, 3))
+        if r:
+            detail["bg_passes_per_sec"] = _stats(r)
 
         # --- cold: the ResNet-101 backbone re-runs every instruction (the
         # reference recomputes everything per command)
-        cold = build_session(cache_visual=False,
-                             out_dir=os.path.join(out_root, "cold"))
-        cold_rates = bench_pipeline(cold, FG_TEXTS, max(6, PASSES // 2), 3)
-        detail["pipeline_cold_backbone_passes_per_sec"] = _stats(cold_rates)
-        _progress("pipeline_cold", detail["pipeline_cold_backbone_passes_per_sec"])
+        def cold_run():
+            cold = build_session(cache_visual=False,
+                                 out_dir=os.path.join(out_root, "cold"))
+            return bench_pipeline(cold, FG_TEXTS, max(6, PASSES // 2), 3)
+        r = _section(detail, "pipeline_cold", cold_run)
+        if r:
+            detail["pipeline_cold_backbone_passes_per_sec"] = _stats(r)
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 
     # --- raw device work (chained digest, nothing elidable)
-    dev_rates, flops = bench_device_only("float32")
-    detail["device_only_passes_per_sec"] = _stats(dev_rates)
-    if flops:
-        detail["device_gflops_per_pass"] = flops
-    _progress("device_only", detail["device_only_passes_per_sec"])
-    dev16_rates, _ = bench_device_only("bfloat16")
-    detail["device_only_bf16_passes_per_sec"] = _stats(dev16_rates)
-    _progress("device_only_bf16", detail["device_only_bf16_passes_per_sec"])
-    detail["bf16_note"] = (
-        "XLA default matmul precision already runs f32 convs as one bf16 "
-        "MXU pass; the bf16 policy additionally stores activations at half "
-        "width (HBM), so the delta is bandwidth-bound layers only")
+    r = _section(detail, "device_only", lambda: bench_device_only("float32"))
+    if r:
+        dev_rates, flops = r
+        detail["device_only_passes_per_sec"] = _stats(dev_rates)
+        if flops:
+            detail["device_gflops_per_pass"] = flops
+    r = _section(detail, "device_only_bf16",
+                 lambda: bench_device_only("bfloat16"))
+    if r:
+        detail["device_only_bf16_passes_per_sec"] = _stats(r[0])
+        detail["bf16_note"] = (
+            "XLA default matmul precision already runs f32 convs as one bf16 "
+            "MXU pass; the bf16 policy additionally stores activations at half "
+            "width (HBM), so the delta is bandwidth-bound layers only")
+
+    if jax.default_backend() == "tpu":
+        r = _section(detail, "mlstm_kernel", bench_mlstm_kernel)
+        if r:
+            detail["mlstm_kernel"] = r
 
     if RUN_TRAIN:
-        detail["train"] = bench_train()
-        _progress("train", detail["train"])
+        r = _section(detail, "train", bench_train)
+        if r:
+            detail["train"] = r
 
-    value = statistics.median(seq_rates)
+    value = statistics.median(seq_rates) if seq_rates else 0.0
     print(json.dumps({
         "metric": "instruction_to_colorized_768_pipeline_passes_per_sec_per_chip",
         "value": round(value, 3),
