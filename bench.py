@@ -40,14 +40,20 @@ import json
 import os
 import shutil
 import statistics
+import subprocess
 import sys
 import tempfile
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
+# jax is imported lazily in main() AFTER the subprocess backend probe: under
+# the axon tunnel even `import jax` can hang at plugin registration when the
+# TPU backend is wedged (round-2 postmortem -- BENCH_r02.json recorded
+# "parsed": null because the process died before printing any JSON).
+jax = None
+jnp = None
 
 TARGET_PASSES_PER_SEC = 50.0
 EXAMPLES = os.environ.get("BENCH_EXAMPLES", "/root/reference/examples")
@@ -75,6 +81,93 @@ def _stats(samples):
     return {"median": round(statistics.median(samples), 3),
             "min": round(min(samples), 3), "max": round(max(samples), 3),
             "rounds": len(samples)}
+
+
+# ------------------------------------------------------------- resilience
+#
+# Round-2 postmortem: the driver's bench run died at backend init
+# (UNAVAILABLE / hang) before any JSON was printed, so the round's number
+# was recorded as "parsed": null.  Four layers of defense now guarantee
+# the final JSON line ALWAYS appears:
+#   0. the measuring process runs as a CHILD of a thin supervisor parent
+#      (BENCH_CHILD dispatch in __main__): if the child hangs in C code
+#      with the GIL held (axon plugin registration does exactly this when
+#      the tunnel wedges) no Python watchdog thread inside it can run, but
+#      the parent's kill-timer + fallback JSON still fire;
+#   1. backend probe in a SUBPROCESS (a hang can't wedge the child),
+#      retried with backoff (BENCH_PROBE_ATTEMPTS x BENCH_PROBE_TIMEOUT);
+#   2. a deadline watchdog thread that prints the partial JSON and
+#      os._exit(0)s if the child exceeds its share of BENCH_DEADLINE_SEC;
+#   3. every section is fail-soft and main() emits in a finally block.
+
+_DETAIL: dict = {}             # shared with the watchdog for partial emission
+_SEQ_RATES: list = []
+_EMITTED = threading.Event()
+
+
+def _emit(error: str = "") -> None:
+    """Print the one JSON line exactly once (main or watchdog, whoever
+    gets there first)."""
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    value = statistics.median(_SEQ_RATES) if _SEQ_RATES else 0.0
+    out = {
+        "metric": "instruction_to_colorized_768_pipeline_passes_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "passes/sec/chip",
+        "vs_baseline": round(value / TARGET_PASSES_PER_SEC, 3),
+        "detail": _DETAIL,
+    }
+    if error:
+        out["error"] = error[:500]
+    print(json.dumps(out), flush=True)
+
+
+def _start_watchdog() -> None:
+    deadline = float(os.environ.get("BENCH_DEADLINE_SEC", "2100"))
+
+    def fire():
+        _DETAIL["watchdog"] = (
+            f"deadline {deadline:.0f}s hit; emitting completed sections")
+        _progress("watchdog", _DETAIL["watchdog"])
+        _emit(error="" if _SEQ_RATES else "bench deadline exceeded")
+        os._exit(0)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+
+
+def _probe_backend() -> str:
+    """Check the backend comes up in a subprocess (bounded); returns the
+    platform name or raises RuntimeError after bounded retries."""
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+    timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "120"))
+    code = ("import jax, json; d = jax.devices(); "
+            "print(json.dumps({'platform': d[0].platform, 'n': len(d)}))")
+    last = ""
+    for i in range(attempts):
+        if i:
+            wait = 30.0 * i
+            _progress("probe", f"retry {i + 1}/{attempts} after {wait:.0f}s "
+                               f"(last: {last[:120]})")
+            time.sleep(wait)
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=timeout)
+            if r.returncode == 0 and r.stdout.strip():
+                info = json.loads(r.stdout.strip().splitlines()[-1])
+                _DETAIL["backend"] = info
+                _progress("probe", info)
+                return info["platform"]
+            last = (r.stderr or r.stdout).strip().splitlines()[-1] \
+                if (r.stderr or r.stdout).strip() else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            last = f"probe hung >{timeout:.0f}s (tunnel wedged?)"
+        except Exception as e:                             # noqa: BLE001
+            last = f"{type(e).__name__}: {e}"
+    raise RuntimeError(f"backend unavailable after {attempts} probes: {last}")
 
 
 def build_session(cache_visual: bool, out_dir: str):
@@ -348,32 +441,40 @@ def _section(detail, name, fn):
     return result
 
 
-def main():
-    detail = {}
-    seq_rates = None
+def _run_sections() -> None:
+    detail = _DETAIL
     out_root = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
         # --- full interactive pipeline (warm per-image cache: the session
-        # serves many instructions against one image, the product default)
-        session = build_session(cache_visual=True,
-                                out_dir=os.path.join(out_root, "warm"))
-        seq_rates = _section(
-            detail, "pipeline_seq",
-            lambda: bench_pipeline(session, FG_TEXTS, PASSES, ROUNDS))
+        # serves many instructions against one image, the product default).
+        # build_session is INSIDE the section: the first device touch (jit
+        # param init) happens there and must be fail-soft too.
+        sessions = {}
+
+        def warm_run():
+            sessions["warm"] = build_session(
+                cache_visual=True, out_dir=os.path.join(out_root, "warm"))
+            return bench_pipeline(sessions["warm"], FG_TEXTS, PASSES, ROUNDS)
+
+        seq_rates = _section(detail, "pipeline_seq", warm_run)
         if seq_rates:
+            _SEQ_RATES.extend(seq_rates)
             detail["pipeline_seq_passes_per_sec"] = _stats(seq_rates)
-            detail["avg_instances_per_pass"] = round(count_instances(session), 2)
+            detail["avg_instances_per_pass"] = round(
+                count_instances(sessions["warm"]), 2)
 
-        r = _section(detail, "pipeline_stream",
-                     lambda: bench_pipeline(session, FG_TEXTS, PASSES,
-                                            max(3, ROUNDS - 2), stream=True))
-        if r:
-            detail["pipeline_stream_passes_per_sec"] = _stats(r)
+            r = _section(detail, "pipeline_stream",
+                         lambda: bench_pipeline(sessions["warm"], FG_TEXTS,
+                                                PASSES, max(3, ROUNDS - 2),
+                                                stream=True))
+            if r:
+                detail["pipeline_stream_passes_per_sec"] = _stats(r)
 
-        r = _section(detail, "bg",
-                     lambda: bench_pipeline(session, BG_TEXTS, 4, 3))
-        if r:
-            detail["bg_passes_per_sec"] = _stats(r)
+            r = _section(detail, "bg",
+                         lambda: bench_pipeline(sessions["warm"], BG_TEXTS,
+                                                4, 3))
+            if r:
+                detail["bg_passes_per_sec"] = _stats(r)
 
         # --- cold: the ResNet-101 backbone re-runs every instruction (the
         # reference recomputes everything per command)
@@ -413,15 +514,62 @@ def main():
         if r:
             detail["train"] = r
 
-    value = statistics.median(seq_rates) if seq_rates else 0.0
-    print(json.dumps({
-        "metric": "instruction_to_colorized_768_pipeline_passes_per_sec_per_chip",
-        "value": round(value, 3),
-        "unit": "passes/sec/chip",
-        "vs_baseline": round(value / TARGET_PASSES_PER_SEC, 3),
-        "detail": detail,
-    }))
+
+def main():
+    global jax, jnp
+    _start_watchdog()
+    error = ""
+    try:
+        _probe_backend()
+        import jax as _jax
+        import jax.numpy as _jnp
+        jax, jnp = _jax, _jnp
+        _run_sections()
+    except Exception as e:                                 # noqa: BLE001
+        error = f"{type(e).__name__}: {e}"
+        _progress("fatal", error)
+    finally:
+        _emit(error=error)
+
+
+def _supervise() -> int:
+    """Parent mode: run the bench as a child process and guarantee the one
+    JSON line appears on stdout no matter how the child dies -- including a
+    GIL-held C-level hang where no in-process watchdog can run."""
+    deadline = float(os.environ.get("BENCH_DEADLINE_SEC", "2100"))
+    env = dict(os.environ, BENCH_CHILD="1",
+               # child's own watchdog fires first so partial sections survive
+               BENCH_DEADLINE_SEC=str(max(60.0, deadline - 90.0)))
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, text=True)
+    json_line = None
+    killer = threading.Timer(deadline, proc.kill)
+    killer.daemon = True
+    killer.start()
+    try:
+        for line in proc.stdout:
+            line = line.rstrip("\n")
+            if line.startswith("{"):
+                json_line = line
+            elif line:
+                print(line, flush=True)
+        rc = proc.wait()
+    finally:
+        killer.cancel()
+    if json_line is None:
+        json_line = json.dumps({
+            "metric":
+                "instruction_to_colorized_768_pipeline_passes_per_sec_per_chip",
+            "value": 0.0, "unit": "passes/sec/chip", "vs_baseline": 0.0,
+            "detail": {},
+            "error": f"bench child produced no JSON (rc={rc}; killed at "
+                     f"{deadline:.0f}s deadline if rc<0)"})
+    print(json_line, flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("BENCH_CHILD") == "1":
+        sys.exit(main())
+    sys.exit(_supervise())

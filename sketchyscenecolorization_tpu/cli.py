@@ -73,6 +73,7 @@ def main(argv=None) -> int:
         session.flush()
         return 0
     out_path = session.colorize(args.image_id, args.instruction)
+    session.flush()     # the record already points at this PNG; make it durable
     print("saved:", out_path)
     return 0
 

@@ -175,6 +175,11 @@ class PipelineConfig:
                                          # backbone every instruction
     async_png_writes: bool = False       # write-behind PNG encoding
     png_compress_level: int = 1          # zlib level of pipeline/io.write_png
+    # serving memory bounds (the reference tears its graphs down per command,
+    # fg_matching_utils.py:29-38, so it never accumulates state; the cached
+    # redesign must not leak either).  0 = unbounded.
+    max_cached_images: int = 8           # LRU over per-image fixture state
+    max_cached_instance_inputs: int = 128  # per-image prepared-GAN-input LRU
 
 
 @dataclass(frozen=True)

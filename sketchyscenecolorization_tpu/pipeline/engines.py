@@ -12,6 +12,7 @@ draws ``tf.random_normal`` inline per run, ``models_collection.py:310``).
 """
 from __future__ import annotations
 
+import copy
 from typing import Any, Dict, Sequence, Tuple
 
 import jax
@@ -105,55 +106,61 @@ class MatchingEngine:
         """Device-side instance scoring: the whole
         ``predict -> threshold -> bin-drawing mask -> per-instance occupancy``
         chain (``fg_matching_utils.py:52-61`` + ``sketch_data_processing.py:
-        254-281``) runs on device and only the [N_inst] score vector crosses
-        the host boundary (vs. a 768^2 float mask fetch).  The occupancy dot
-        is exact: {0,1} operands are exact in bf16 and the MXU accumulates
-        float32, with counts < 2^24."""
+        254-281``) runs on device and only the [N_inst] intersection-count
+        vector crosses the host boundary (vs. a 768^2 float mask fetch).  The
+        count dot is exact: {0,1} operands are exact in bf16 and the MXU
+        accumulates float32, with counts < 2^24.  The inter/area division
+        happens on host in float64, exactly like the reference
+        (``get_pred_instance_mask`` divides NumPy float64), so a score within
+        f32 rounding of the occupancy threshold can't flip the selection."""
         cfg = self.cfg
         thresh = self.score_thresh
 
-        def score_tail(up, inst_masks, areas, bin_drawing):
+        def score_tail(up, inst_masks, bin_drawing):
             pred = (up[..., 0] >= thresh).astype(jnp.float32) \
                 * bin_drawing[None]                             # [M, H, W]
             m = pred.shape[0]
             inter = inst_masks @ pred.reshape(m, -1).T          # [N_inst, M]
-            return (inter / jnp.maximum(areas, 1.0)[:, None]).T  # [M, N_inst]
+            return inter.T                                      # [M, N_inst]
 
         @jax.jit
-        def score_cold(params, image, words, seq_len, inst_masks, areas,
+        def score_cold(params, image, words, seq_len, inst_masks,
                        bin_drawing):
             with compute_dtype_scope(cfg.compute_dtype):
                 visual = rmi.extract_visual(params, cfg, image)
                 up = rmi.apply_fused(params, cfg, visual, words, seq_len).up
-            return score_tail(up, inst_masks, areas, bin_drawing)
+            return score_tail(up, inst_masks, bin_drawing)
 
         @jax.jit
-        def score_warm(params, visual, words, seq_len, inst_masks, areas,
+        def score_warm(params, visual, words, seq_len, inst_masks,
                        bin_drawing):
             with compute_dtype_scope(cfg.compute_dtype):
                 up = rmi.apply_fused(params, cfg, visual, words, seq_len).up
-            return score_tail(up, inst_masks, areas, bin_drawing)
+            return score_tail(up, inst_masks, bin_drawing)
 
         self._score_cold = score_cold
         self._score_warm = score_warm
 
     def score_instances(self, image_dev, words: np.ndarray, lens: np.ndarray,
-                        inst_masks_dev, areas_dev, bin_drawing_dev,
+                        inst_masks_dev, areas: np.ndarray, bin_drawing_dev,
                         visual_dev=None) -> np.ndarray:
-        """Occupancy scores [N_inst] for one instruction.  ``image_dev`` is
-        the mean-subtracted [1,H,W,3] image on device; pass ``visual_dev``
+        """Occupancy scores [M, N_inst] for M instructions.  ``image_dev`` is
+        the mean-subtracted [1,H,W,3] image on device; ``areas`` is the HOST
+        per-instance pixel-count vector (the division runs in float64 on
+        host, matching the reference path exactly); pass ``visual_dev``
         (cached ``extract_visual`` output) to skip the backbone."""
         if not hasattr(self, "_score_cold"):
             self._build_score()
         if visual_dev is not None:
-            out = self._score_warm(self.params, visual_dev, jnp.asarray(words),
-                                   jnp.asarray(lens), inst_masks_dev,
-                                   areas_dev, bin_drawing_dev)
+            inter = self._score_warm(self.params, visual_dev,
+                                     jnp.asarray(words), jnp.asarray(lens),
+                                     inst_masks_dev, bin_drawing_dev)
         else:
-            out = self._score_cold(self.params, image_dev, jnp.asarray(words),
-                                   jnp.asarray(lens), inst_masks_dev,
-                                   areas_dev, bin_drawing_dev)
-        return np.asarray(out)
+            inter = self._score_cold(self.params, image_dev,
+                                     jnp.asarray(words), jnp.asarray(lens),
+                                     inst_masks_dev, bin_drawing_dev)
+        return np.asarray(inter).astype(np.float64) \
+            / np.maximum(np.asarray(areas, np.float64), 1.0)[None, :]
 
     def extract_visual_dev(self, image_dev):
         """Cached-feature extraction (device array result stays on device)."""
@@ -181,6 +188,16 @@ class FGColorizeEngine:
                                 labels, noise)
             return out.astype(jnp.float32)
         self._forward = forward
+
+    def fork(self, seed: int) -> "FGColorizeEngine":
+        """Same params AND compiled executables, fresh noise stream -- the
+        only mutable state this engine carries is ``_rng`` (the reference's
+        inline ``tf.random_normal``, ``models_collection.py:310``).  A fork
+        with the build seed is output-identical to a freshly built engine,
+        minus the compile cost (``ColorizationSession.clone``)."""
+        eng = copy.copy(self)
+        eng._rng = jax.random.PRNGKey(seed)
+        return eng
 
     def encode(self, text: str):
         return colorization_encode(text, self.vocab, self.cfg.max_len)

@@ -31,12 +31,22 @@ command):
   read-after-write behavior.
 
 All of this is output-preserving: goldens and the record/withdraw state
-machine match the sequential formulation bit for bit
-(``tests/test_pipeline_serving.py``).
+machine match the sequential formulation (``tests/test_pipeline_serving.py``).
+Exact equality caveat: the batched per-sample-BN GAN forward is equal to K
+sequential batch-1 calls only up to float reduction order (<= 1 uint8 LSB);
+matching scores, records and compositing are byte-identical.
+
+Memory is bounded for long-running serving: the per-image cache is LRU
+(``PipelineConfig.max_cached_images``) and each image's prepared-instance
+cache is capped (``max_cached_instance_inputs``) -- the reference tears every
+graph down per command (``fg_matching_utils.py:29-38``) and so never
+accumulates state; the cached redesign must not leak either.
 """
 from __future__ import annotations
 
+import atexit
 import os
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -65,7 +75,9 @@ def _fixture_signature(paths: Dict[str, str]) -> Tuple[int, ...]:
 class _ImageState:
     """Everything about one image that does not depend on the instruction."""
 
-    def __init__(self, paths: Dict[str, str], image_size: int):
+    def __init__(self, paths: Dict[str, str], image_size: int,
+                 max_instance_inputs: int = 0):
+        self.max_instance_inputs = max_instance_inputs
         self.signature = _fixture_signature(paths)
         self.sketch = load_sketch_image(paths["sketch"], dtype=np.uint8,
                                         size=image_size)
@@ -89,18 +101,21 @@ class _ImageState:
         n = len(self.pred_class_ids)
         self.inst_masks_dev = jnp.asarray(
             self.pred_masks.reshape(n, -1).astype(np.float32))
-        self.areas_dev = jnp.asarray(
-            self.pred_masks.reshape(n, -1).sum(axis=1).astype(np.float32))
+        # per-instance pixel counts stay on HOST: the occupancy division runs
+        # in float64 there, exactly like the reference's NumPy path
+        self.areas_host = self.pred_masks.reshape(n, -1).sum(axis=1) \
+            .astype(np.float64)
         self.visual_dev = None                  # lazily-cached backbone feats
-        self.instance_inputs: Dict[int, np.ndarray] = {}
+        self.instance_inputs: "OrderedDict[int, np.ndarray]" = OrderedDict()
         self.last_result: Optional[Tuple[str, np.ndarray]] = None  # (name, img)
 
     def prepared_instance(self, inst_idx: int, instance_size: int) -> np.ndarray:
         """[-1,1] float32 GAN input for one instance (crop -> white-bg mask
         image -> resize+pad -> road/grass special cases;
         ``fg_color_utils.py:282-311``).  Pure function of the fixtures, so
-        cached per instance."""
+        cached per instance (LRU, capped at ``max_instance_inputs``)."""
         if inst_idx in self.instance_inputs:
+            self.instance_inputs.move_to_end(inst_idx)
             return self.instance_inputs[inst_idx]
         class_id46 = int(self.pred_class_ids[inst_idx])
         y1, x1, y2, x2 = (int(b) for b in self.pred_boxes[inst_idx])
@@ -124,6 +139,8 @@ class _ImageState:
 
         x = instance_sketch.astype(np.float32) / 255.0 * 2.0 - 1.0
         self.instance_inputs[inst_idx] = x
+        while 0 < self.max_instance_inputs < len(self.instance_inputs):
+            self.instance_inputs.popitem(last=False)
         return x
 
 
@@ -136,8 +153,12 @@ class ColorizationSession:
         self.matching = matching
         self.fg = fg
         self.bg = bg
-        self._images: Dict[str, _ImageState] = {}
+        self._images: "OrderedDict[str, _ImageState]" = OrderedDict()
         self._writer = AsyncPngWriter() if cfg.pipeline.async_png_writes else None
+        if self._writer is not None:
+            # a process exit must never strand queued write-behind PNGs after
+            # their records have committed (records point at missing files)
+            atexit.register(self.close)
 
     # ---------------------------------------------------------------- paths
     def _paths(self, image_id) -> Dict[str, str]:
@@ -160,11 +181,17 @@ class ColorizationSession:
         paths = self._paths(image_id)
         cached = self._images.get(key)
         if cached is not None and cached.signature == _fixture_signature(paths):
+            self._images.move_to_end(key)
             return cached
         last = cached.last_result if cached is not None else None
-        state = _ImageState(paths, self.cfg.pipeline.image_size)
+        state = _ImageState(paths, self.cfg.pipeline.image_size,
+                            self.cfg.pipeline.max_cached_instance_inputs)
         state.last_result = last        # result history survives fixture edits
         self._images[key] = state
+        self._images.move_to_end(key)
+        max_images = self.cfg.pipeline.max_cached_images
+        while 0 < max_images < len(self._images):
+            self._images.popitem(last=False)   # LRU-evict (device tensors too)
         return state
 
     def _save_result(self, path: str, image: np.ndarray) -> None:
@@ -191,6 +218,27 @@ class ColorizationSession:
         """Block until all write-behind PNGs are on disk."""
         if self._writer is not None:
             self._writer.flush()
+
+    def close(self) -> None:
+        """Drain the write-behind queue; idempotent (also runs atexit)."""
+        self.flush()
+
+    def clone(self, seed: int = 0, **pipeline_overrides) -> "ColorizationSession":
+        """A session sharing this one's engines (params + COMPILED
+        executables) with its own per-image cache, PNG writer, and FG noise
+        stream.  With the build seed and unchanged model configs this is
+        output-identical to ``build_session(new_cfg, seed)`` minus the
+        compile cost.  ``pipeline_overrides`` replace ``cfg.pipeline`` fields
+        only; ``score_thresh`` is baked into the matching engine at build
+        time and cannot be overridden here."""
+        import dataclasses
+        assert "score_thresh" not in pipeline_overrides
+        cfg = dataclasses.replace(
+            self.cfg,
+            pipeline=dataclasses.replace(self.cfg.pipeline,
+                                         **pipeline_overrides))
+        return ColorizationSession(cfg, self.matching, self.fg.fork(seed),
+                                   self.bg)
 
     # ----------------------------------------------------------------- API
     def colorize(self, image_id, input_text: str) -> str:
@@ -330,7 +378,7 @@ class ColorizationSession:
         words, lens = self.matching.encode_texts(list(input_texts))
         scores = self.matching.score_instances(
             state.image_dev, words, lens, state.inst_masks_dev,
-            state.areas_dev, state.bin_drawing_dev,
+            state.areas_host, state.bin_drawing_dev,
             visual_dev=state.visual_dev)                    # [M, N_inst]
         keep = scores > self.cfg.pipeline.mask_occupied_threshold
         return [[int(i) for i in np.nonzero(row)[0]] for row in keep]

@@ -38,7 +38,9 @@ def stub(monkeypatch):
 def test_single_instruction_calls_colorize(stub, capsys):
     assert cli.main(["--command", "color", "--image_id", "7",
                      "--instruction", "the bus is yellow"]) == 0
-    assert stub.calls == [("colorize", 7, "the bus is yellow")]
+    # colorize then flush: the record commits before the PNG may have left a
+    # write-behind queue, so the CLI drains the writer before exiting
+    assert stub.calls == [("colorize", 7, "the bus is yellow"), ("flush",)]
     assert "saved: /out/7_1.png" in capsys.readouterr().out
 
 

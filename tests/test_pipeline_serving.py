@@ -1,17 +1,24 @@
 """Serving-path equivalences: every optimization on the interactive pipeline
 (device-side instance scoring, batched per-sample-BN GAN forwards, device
 uint8 conversion, the fast PNG writer, write-behind saving, per-image
-caching, request-batched streaming) must be output-preserving vs the
-sequential reference formulation.
+caching + LRU bounds, request-batched streaming) must be output-preserving
+vs the sequential reference formulation.
+
+All tests share ONE compiled base session (module fixture) and fork cheap
+``ColorizationSession.clone``s — the clone contract (identical outputs to a
+fresh ``build_session`` with the same seed) is itself load-bearing here: the
+stream-vs-sequential test pits the fixture-built session against a clone.
 """
 import dataclasses
 import json
 import os
+import types
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+import scipy.io
 from PIL import Image
 
 from sketchyscenecolorization_tpu.pipeline.io import AsyncPngWriter, write_png
@@ -65,12 +72,12 @@ def test_fg_colorize_batch_matches_sequential_loop():
     class_ids = [1, 4, 2]
 
     seq_engine = FGColorizeEngine(cfg, params, vocab, seed=7)
+    batch_engine = seq_engine.fork(seed=7)   # shared compiles, same stream
     seq = []
     for k in range(3):
         out = seq_engine.colorize(sketches[k], class_ids[k], "red blue")
         seq.append((((out[0] + 1.0) / 2.0) * 255.0).astype(np.uint8))
 
-    batch_engine = FGColorizeEngine(cfg, params, vocab, seed=7)
     # K=3 pads to the 4-bucket: pad rows must be inert
     batched = batch_engine.colorize_batch(sketches, class_ids, "red blue")
     assert batched.dtype == np.uint8 and batched.shape == (3, s, s, 3)
@@ -82,25 +89,32 @@ def test_fg_colorize_batch_matches_sequential_loop():
         assert (diff > 0).mean() < 0.01
 
 
+# --------------------------------------------------- shared compiled session
+
+@pytest.fixture(scope="module")
+def serving_env(tmp_path_factory):
+    """One compiled small session for the whole module; tests run on
+    ``clone``s with their own results dirs (same outputs as fresh builds,
+    no per-test compile)."""
+    from sketchyscenecolorization_tpu.pipeline.factory import build_session
+    tmp = tmp_path_factory.mktemp("serving")
+    write_fixtures(str(tmp / "examples"), image_id=7)
+    cfg = small_config(tmp)
+    base = build_session(cfg, seed=0)
+    return tmp, cfg, base
+
+
 # ----------------------------- stream serving + device scoring == sequential
 
-def test_stream_scoring_and_streaming_match_sequential(tmp_path):
-    """One combined heavy test (two compiled sessions):
-    - device-side instance scoring == host get_pred_instance_mask
+def test_stream_scoring_and_streaming_match_sequential(serving_env):
+    """- device-side instance scoring == host get_pred_instance_mask
     - colorize_stream (one matching + one GAN dispatch per FG run) produces
       byte-identical images and records vs sequential colorize calls.
-    """
-    from sketchyscenecolorization_tpu.pipeline.factory import build_session
-    write_fixtures(str(tmp_path / "ex_a"), image_id=7)
-    write_fixtures(str(tmp_path / "ex_b"), image_id=7)
-
-    def cfg_for(base, out):
-        c = small_config(tmp_path)
-        return dataclasses.replace(c, pipeline=dataclasses.replace(
-            c.pipeline, data_base_dir=str(tmp_path / base),
-            results_base_dir=str(tmp_path / out)))
-
-    seq = build_session(cfg_for("ex_a", "out_a"), seed=0)
+    ``seq`` is the fixture-built session itself (fresh, seed 0, rng never
+    advanced), ``stream`` a clone -- equality also validates the clone
+    contract against a fresh build."""
+    tmp, cfg, base = serving_env
+    seq = base                      # results land in cfg's tmp/"outputs"
 
     # --- device scoring vs host matcher
     for text in ("the bus is yellow", "the grass", "the bus"):
@@ -112,7 +126,7 @@ def test_stream_scoring_and_streaming_match_sequential(tmp_path):
     texts = ["the bus is yellow", "the grass is green",
              "the sky is blue and the ground is green", "the bus is red"]
     seq_paths = [seq.colorize(7, t) for t in texts]
-    stream = build_session(cfg_for("ex_b", "out_b"), seed=0)
+    stream = base.clone(seed=0, results_base_dir=str(tmp / "out_stream"))
     stream_paths = stream.colorize_stream(7, texts)
 
     assert [os.path.basename(p) for p in seq_paths] == \
@@ -121,34 +135,97 @@ def test_stream_scoring_and_streaming_match_sequential(tmp_path):
         np.testing.assert_array_equal(
             np.array(Image.open(a).convert("RGB")),
             np.array(Image.open(b).convert("RGB")), err_msg=a)
-    rec_a = json.load(open(tmp_path / "out_a" / "update_records" /
+    rec_a = json.load(open(tmp / "outputs" / "update_records" /
                            "7_records.json"))
-    rec_b = json.load(open(tmp_path / "out_b" / "update_records" /
+    rec_b = json.load(open(tmp / "out_stream" / "update_records" /
                            "7_records.json"))
     assert rec_a == rec_b
 
 
-def test_async_session_matches_sync_and_withdraw_flushes(tmp_path):
+def test_stream_failure_matches_sequential(serving_env):
+    """A pass failing mid-run (single-line road, ``fg_color_utils.py:306-308``)
+    must leave the stream session in exactly the sequential failure state:
+    earlier passes committed (records + images), the same error raised, and
+    nothing written for the failing or subsequent passes."""
+    tmp, cfg, base = serving_env
+    base_dir = str(tmp / "examples")
+
+    # image 19: a bus (colorizable) + a single-line road (prepared_instance
+    # raises).  Matching is stubbed deterministic on BOTH sessions so the
+    # test pins the stream commit/abort logic, not the random-init matcher.
+    sketch = np.full((SIZE, SIZE, 3), 255, np.uint8)
+    sketch[10:30, 10:40][[0, -1], :] = 0
+    sketch[10:30, 10:40][:, [0, -1]] = 0
+    sketch[50, 2:62] = 0
+    Image.fromarray(sketch).save(os.path.join(base_dir, "sketches", "19.png"))
+    masks = np.empty(2, dtype=object)
+    masks[0] = np.ones((21, 31), np.uint8)
+    single = np.zeros((21, 61), np.uint8)
+    single[10, :] = 1                      # one stroke -> odd crossings
+    masks[1] = single
+    np.savez(os.path.join(base_dir, "seg_data", "19_datas.npz"),
+             pred_masks=masks, pred_class_ids=np.array([7, 36]),
+             pred_boxes=np.array([[10, 10, 30, 40], [40, 2, 60, 62]],
+                                 np.int32))
+    inner = np.zeros((SIZE, SIZE), np.uint8)
+    inner[11:29, 11:39] = 1
+    scipy.io.savemat(os.path.join(base_dir, "inner_masks", "19.mat"),
+                     {"inner_masks": inner})
+
+    routes = {"the bus is yellow": [0], "the road is gray": [1],
+              "the bus is red": [0]}
+
+    def stubbed(session):
+        def _match_many(self, state, input_texts):
+            return [list(routes[t]) for t in input_texts]
+        session._match_many = types.MethodType(_match_many, session)
+        return session
+
+    texts = ["the bus is yellow", "the road is gray", "the bus is red"]
+
+    seq = stubbed(base.clone(seed=0, results_base_dir=str(tmp / "fail_seq")))
+    seq_paths, seq_err = [], None
+    for t in texts:
+        try:
+            seq_paths.append(seq.colorize(19, t))
+        except ValueError as e:
+            seq_err = str(e)
+            break
+
+    stream = stubbed(base.clone(seed=0,
+                                results_base_dir=str(tmp / "fail_stream")))
+    with pytest.raises(ValueError) as excinfo:
+        stream.colorize_stream(19, texts)
+
+    assert seq_err == "Road is single line" == str(excinfo.value)
+    rec_a = json.load(open(tmp / "fail_seq" / "update_records" /
+                           "19_records.json"))
+    rec_b = json.load(open(tmp / "fail_stream" / "update_records" /
+                           "19_records.json"))
+    assert rec_a == rec_b and len(rec_a) == 1      # only pass 1 committed
+    a = sorted(os.listdir(tmp / "fail_seq" / "results" / "19"))
+    b = sorted(os.listdir(tmp / "fail_stream" / "results" / "19"))
+    assert a == b == ["19_1.png"]
+    np.testing.assert_array_equal(
+        np.array(Image.open(tmp / "fail_seq" / "results" / "19" / a[0])),
+        np.array(Image.open(tmp / "fail_stream" / "results" / "19" / b[0])))
+
+
+def test_async_session_matches_sync_and_withdraw_flushes(serving_env):
     """Write-behind PNG saving: byte-identical outputs, and withdraw sees a
     consistent disk state (flush-before-delete)."""
-    from sketchyscenecolorization_tpu.pipeline.factory import build_session
-    write_fixtures(str(tmp_path / "ex_a"), image_id=7)
-    write_fixtures(str(tmp_path / "ex_b"), image_id=7)
+    tmp, cfg, base = serving_env
 
-    def run(base, out, async_writes):
-        c = small_config(tmp_path)
-        cfg = dataclasses.replace(c, pipeline=dataclasses.replace(
-            c.pipeline, data_base_dir=str(tmp_path / base),
-            results_base_dir=str(tmp_path / out),
-            async_png_writes=async_writes))
-        session = build_session(cfg, seed=0)
+    def run(out, async_writes):
+        session = base.clone(seed=0, results_base_dir=str(tmp / out),
+                             async_png_writes=async_writes)
         p1 = session.colorize(7, "the bus is yellow")
         p2 = session.colorize(7, "the sky is blue and the ground is green")
         session.flush()
         return session, p1, p2
 
-    _, a1, a2 = run("ex_a", "out_a", False)
-    s_async, b1, b2 = run("ex_b", "out_b", True)
+    _, a1, a2 = run("sync_out", False)
+    s_async, b1, b2 = run("async_out", True)
     np.testing.assert_array_equal(np.array(Image.open(a1).convert("RGB")),
                                   np.array(Image.open(b1).convert("RGB")))
     np.testing.assert_array_equal(np.array(Image.open(a2).convert("RGB")),
@@ -161,16 +238,54 @@ def test_async_session_matches_sync_and_withdraw_flushes(tmp_path):
     assert not os.path.isfile(p3)
 
 
-def test_cold_backbone_matches_warm_cache(tmp_path):
+def test_cold_backbone_matches_warm_cache(serving_env):
     """cache_visual_features=False (backbone per instruction) selects the
     same instances as the cached-feature path."""
-    from sketchyscenecolorization_tpu.pipeline.factory import build_session
-    write_fixtures(str(tmp_path / "examples"))
-    cfg = small_config(tmp_path)
-    cold_cfg = dataclasses.replace(
-        cfg, pipeline=dataclasses.replace(cfg.pipeline,
-                                          cache_visual_features=False))
-    warm = build_session(cfg, seed=0)
-    cold = build_session(cold_cfg, seed=0)
+    tmp, cfg, base = serving_env
+    warm = base.clone(seed=0, results_base_dir=str(tmp / "warm_out"))
+    cold = base.clone(seed=0, results_base_dir=str(tmp / "cold_out"),
+                      cache_visual_features=False)
     assert warm.match_instances(7, "the bus") == \
         cold.match_instances(7, "the bus")
+
+
+# --------------------------------------------------- bounded serving memory
+
+def test_cache_bounds_soak_matches_unbounded(serving_env):
+    """Long-session soak: many images through a session with tight LRU
+    bounds (max_cached_images=2, max_cached_instance_inputs=1) produces the
+    exact outputs of an unbounded session, while both caches stay within
+    their caps (the reference tears down per command and never accumulates,
+    ``fg_matching_utils.py:29-38`` -- the cached redesign must not leak)."""
+    tmp, cfg, base = serving_env
+    base_dir = str(tmp / "examples")
+    image_ids = [31, 32, 33, 34, 35]
+    for i in image_ids:
+        write_fixtures(base_dir, image_id=i)
+
+    # two sweeps over 5 images -> reuse after eviction is exercised
+    commands = [(i, "the bus is yellow") for i in image_ids] \
+        + [(i, "the grass is green") for i in image_ids]
+
+    bounded = base.clone(seed=0, results_base_dir=str(tmp / "soak_b"),
+                         max_cached_images=2, max_cached_instance_inputs=1)
+    unbounded = base.clone(seed=0, results_base_dir=str(tmp / "soak_u"),
+                           max_cached_images=0, max_cached_instance_inputs=0)
+
+    for image_id, text in commands:
+        pb = bounded.colorize(image_id, text)
+        pu = unbounded.colorize(image_id, text)
+        assert len(bounded._images) <= 2
+        assert all(len(s.instance_inputs) <= 1
+                   for s in bounded._images.values())
+        np.testing.assert_array_equal(
+            np.array(Image.open(pb).convert("RGB")),
+            np.array(Image.open(pu).convert("RGB")),
+            err_msg=f"{image_id}: {text}")
+    assert len(unbounded._images) == len(image_ids)
+    for i in image_ids:
+        rec_b = json.load(open(tmp / "soak_b" / "update_records" /
+                               f"{i}_records.json"))
+        rec_u = json.load(open(tmp / "soak_u" / "update_records" /
+                               f"{i}_records.json"))
+        assert rec_b == rec_u and len(rec_b) == 2

@@ -323,22 +323,40 @@ def test_tp_sharded_mlstm_matches_unsharded(monkeypatch):
 
 
 def test_tp_sharded_matching_train_step(monkeypatch):
-    """Gradients flow through the shard_map-wrapped kernel (scan-VJP) under
-    the 4x2 mesh; loss matches the unsharded step."""
+    """Gradients flow through the shard_map-wrapped kernel (custom-VJP incl.
+    the psum of the replicated w_h cotangent) under the 4x2 mesh: TWO steps
+    must match the unsharded run -- the second step's loss and the updated
+    mLSTM weight block both depend on the first step's gradients."""
     import dataclasses
     monkeypatch.setenv("MLSTM_PALLAS_INTERPRET", "1")
     cfg_tp = dataclasses.replace(SMALL_MATCH, shard_mlstm_pixels=True)
     params = rmi.init_params(jax.random.PRNGKey(0), cfg_tp)
     batch = _matching_batch(cfg_tp, batch=4)
 
-    _, m_single = make_matching_train_step(SMALL_MATCH, donate=False)(
-        create_matching_state(params, cfg_tp), batch)
+    step_s = make_matching_train_step(SMALL_MATCH, donate=False)
+    state_s = create_matching_state(params, cfg_tp)
+    state_s1, m_single = step_s(state_s, batch)
+    _, m_single2 = step_s(state_s1, batch)
 
     mesh = parallel.create_mesh(data=4, model=2)
     step = make_matching_train_step(cfg_tp, donate=False)
     with jax.set_mesh(mesh):
         state_r = parallel.replicate(create_matching_state(params, cfg_tp),
                                      mesh)
-        _, m_tp = step(state_r, parallel.shard_batch(batch, mesh))
+        state_r1, m_tp = step(state_r, parallel.shard_batch(batch, mesh))
+        _, m_tp2 = step(state_r1, parallel.shard_batch(batch, mesh))
     np.testing.assert_allclose(float(m_tp["cls_loss"]),
                                float(m_single["cls_loss"]), rtol=2e-4)
+    # step-2 loss is a pure function of the step-1 parameter update: equality
+    # here certifies the TP backward produced the same gradients
+    np.testing.assert_allclose(float(m_tp2["cls_loss"]),
+                               float(m_single2["cls_loss"]), rtol=5e-4)
+    # and the updated mLSTM weight matrix (holds w_h, the kernel's recurrent
+    # block whose cotangent is psum'd across 'model') matches elementwise
+    np.testing.assert_allclose(
+        np.asarray(state_r1.params["text_sketchyscene"]["mLSTM"]["w"]),
+        np.asarray(state_s1.params["text_sketchyscene"]["mLSTM"]["w"]),
+        rtol=1e-4, atol=1e-6)
+    grad_moved = np.abs(np.asarray(state_s1.params["text_sketchyscene"]["mLSTM"]["w"])
+                        - np.asarray(params["text_sketchyscene"]["mLSTM"]["w"])).max()
+    assert grad_moved > 0.0          # the comparison is not vacuous
