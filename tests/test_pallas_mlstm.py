@@ -1,8 +1,12 @@
 """Fused mLSTM kernel: interpret-mode Pallas vs the lax.scan formulation,
-gradient equivalence, padding, and both masking schemes."""
+gradient equivalence, padding, both masking schemes, and (RUN_SLOW) the
+tensor-parallel path at the production pixel count."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sketchyscenecolorization_tpu.ops.pallas_mlstm import (
     masked_pixel_lstm, mlstm_pallas, mlstm_scan,
@@ -77,6 +81,54 @@ def test_pallas_bwd_kernel_matches_scan_grads():
         for a, b, name in zip(got, want, ("d_pixel", "d_step", "d_wh")):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
                                        err_msg=name)
+
+
+@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                    reason="production-shape TP kernel run (set RUN_SLOW=1)")
+def test_tp_kernel_at_production_pixel_count(monkeypatch):
+    """The shard_map-wrapped kernel at the REAL matching scale: P = 96*96 =
+    9216 sharded 2-way over 'model' (per-shard P=4608: 18 fwd tiles of 256,
+    36 bwd tiles of 128), H=500 (4H=2000, NOT lane-aligned -- exercises
+    mosaic padding), T=15.  Forward and all three gradients must match the
+    unsharded scan formulation (``RMI_model.py:169-200`` at full size; the
+    small-shape TP tests cover the same wiring but not this tile/pad
+    geometry)."""
+    from jax.sharding import PartitionSpec as P
+    from sketchyscenecolorization_tpu import parallel
+    monkeypatch.setenv("MLSTM_PALLAS_INTERPRET", "1")
+
+    rng = np.random.RandomState(0)
+    p, hid, t = 96 * 96, 500, 15
+    pixel = jnp.asarray(rng.randn(1, p, 4 * hid).astype(np.float32) * 0.1)
+    step = jnp.asarray(rng.randn(1, t, 4 * hid).astype(np.float32) * 0.1)
+    w_h = jnp.asarray(rng.randn(hid, 4 * hid).astype(np.float32) * 0.02)
+    seq_len = jnp.array([8])
+    valid = jnp.arange(t)[None, :] < seq_len[:, None]
+
+    def loss(f, pt, st, wh):
+        return jnp.sum(f(pt, st, wh, valid) ** 2) * 1e-4
+
+    want_y = mlstm_scan(pixel, step, w_h, valid)
+    want_g = jax.grad(lambda *a: loss(mlstm_scan, *a),
+                      argnums=(0, 1, 2))(pixel, step, w_h)
+
+    mesh = parallel.create_mesh(data=1, model=2)
+    sharded = jax.shard_map(
+        masked_pixel_lstm, mesh=mesh,
+        in_specs=(P(None, "model", None), P(None, None, None),
+                  P(None, None), P(None, None)),
+        out_specs=P(None, "model", None), check_vma=False)
+    with jax.set_mesh(mesh):
+        got_y = jax.jit(lambda pt, st, wh: sharded(pt, st, wh, valid))(
+            pixel, step, w_h)
+        got_g = jax.jit(jax.grad(
+            lambda pt, st, wh: jnp.sum(sharded(pt, st, wh, valid) ** 2)
+            * 1e-4, argnums=(0, 1, 2)))(pixel, step, w_h)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                               rtol=1e-5, atol=1e-6)
+    for a, b, name in zip(got_g, want_g, ("d_pixel", "d_step", "d_wh")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
 
 
 def test_custom_vjp_uses_pallas_bwd_when_forced(monkeypatch):
