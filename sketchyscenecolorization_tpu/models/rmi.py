@@ -35,7 +35,7 @@ from ..config import MatchingConfig
 from ..ops.conv import conv2d
 from ..ops.image import tf1_resize_bilinear
 from ..ops.lstm import lstm_cell, masked_lstm_scan
-from ..ops.pallas_mlstm import masked_pixel_lstm
+from ..ops.pallas_mlstm import attn_weighted_pixel_lstm, masked_pixel_lstm
 from ..ops.norm import l2_normalize
 from ..ops.spatial import generate_spatial_batch
 from ..ops.activations import atanh_transform
@@ -152,8 +152,29 @@ def _rmi_fusion(text: Params, cfg: MatchingConfig,
 
     valid = jnp.arange(t_max)[None, :] < seq_len[:, None]            # [N, T]
 
-    use_attn = cfg.use_attn
-    if cfg.shard_mlstm_pixels and not use_attn:
+    if cfg.use_attn:
+        # word-attention variant (``RMI_model.py:203-217``): the output is
+        # the softmax(fc(lang))-weighted sum of per-step h's.  The fused
+        # kernel accumulates that sum in VMEM alongside the recurrence
+        # (``ops/pallas_mlstm.attn_weighted_pixel_lstm``); gradients come
+        # from the identical scan formulation, including d_attn.
+        attn_logits = (lang.reshape(n * t_max, l_dim) @ text["attn_fc"]["DW"]
+                       + text["attn_fc"]["biases"]).reshape(n, t_max)
+        attn = jax.nn.softmax(attn_logits, axis=-1)              # [N, T]
+        if cfg.shard_mlstm_pixels:
+            from jax.sharding import PartitionSpec as P
+            acc = jax.shard_map(
+                attn_weighted_pixel_lstm,
+                in_specs=(P("data", "model", None), P("data", None, None),
+                          P(None, None), P("data", None), P("data", None)),
+                out_specs=P("data", "model", None), check_vma=False,
+            )(pixel_term, step_term, w_h, valid, attn)
+        else:
+            acc = attn_weighted_pixel_lstm(pixel_term, step_term, w_h,
+                                           valid, attn)
+        return acc.reshape(n, h, w, m)
+
+    if cfg.shard_mlstm_pixels:
         # tensor parallelism over the pixel-batch dim: every pixel's sequence
         # is independent, so sharding P over 'model' needs no collectives
         # inside the recurrence (weights replicated; XLA only all-gathers at
@@ -174,38 +195,10 @@ def _rmi_fusion(text: Params, cfg: MatchingConfig,
         )(pixel_term, step_term, w_h, valid)
         return m_last.reshape(n, h, w, m)
 
-    if not use_attn:
-        # hot path: fused Pallas recurrence (VMEM-resident carry; see
-        # ops/pallas_mlstm.py), scan-equivalent gradients
-        m_last = masked_pixel_lstm(pixel_term, step_term, w_h, valid)
-        return m_last.reshape(n, h, w, m)
-
-    # word-attention variant (``RMI_model.py:203-217``): the attention-weighted
-    # sum over per-step outputs needs the intermediate h's, so it stays a scan
-    c0 = jnp.zeros((n, h * w, m), jnp.float32)
-    h0 = jnp.zeros((n, h * w, m), jnp.float32)
-    attn_logits = (lang.reshape(n * t_max, l_dim) @ text["attn_fc"]["DW"]
-                   + text["attn_fc"]["biases"]).reshape(n, t_max)
-    attn = jax.nn.softmax(attn_logits, axis=-1)                  # [N, T]
-    acc0 = jnp.zeros((n, h * w, m), jnp.float32)
-
-    def step(carry, inp):
-        c, hh, acc = carry
-        s_t, t, a_t = inp
-        gates = pixel_term + s_t[:, None, :] + hh @ w_h          # [N, P, 4m]
-        new_c, new_h = lstm_cell(gates, c)
-        keep = (t < seq_len)[:, None, None]
-        c = jnp.where(keep, new_c, c)
-        hh = jnp.where(keep, new_h, hh)
-        out_t = jnp.where(keep, hh, 0.0)                         # dynamic_rnn zeros past len
-        acc = acc + a_t[:, None, None] * out_t
-        return (c, hh, acc), None
-
-    ts = jnp.arange(t_max)
-    (c, hh, acc), _ = jax.lax.scan(
-        step, (c0, h0, acc0),
-        (jnp.swapaxes(step_term, 0, 1), ts, jnp.swapaxes(attn, 0, 1)))
-    return acc.reshape(n, h, w, m)
+    # hot path: fused Pallas recurrence (VMEM-resident carry; see
+    # ops/pallas_mlstm.py), scan-equivalent gradients
+    m_last = masked_pixel_lstm(pixel_term, step_term, w_h, valid)
+    return m_last.reshape(n, h, w, m)
 
 
 def _recur_attn_fusion(text: Params, cfg: MatchingConfig,

@@ -140,6 +140,138 @@ def mlstm_scan(pixel_term: jnp.ndarray, step_term: jnp.ndarray,
     return h
 
 
+def _mlstm_attn_kernel(valid_ref, attn_ref, pixel_ref, step_ref, wh_ref,
+                       out_ref, *, t_max: int, hidden: int):
+    """Word-attention variant (``RMI_model.py:203-217``): instead of the
+    final h, emit the attention-weighted sum of *per-step* outputs,
+    ``acc = sum_t attn[t] * out_t`` with ``out_t = h_t`` for valid steps and
+    0 past the sequence length (dynamic_rnn zero-padding).  The accumulator
+    lives in VMEM next to h/c, so the variant costs one extra FMA per step
+    over the plain kernel -- no [P, T, H] trajectory is ever materialized.
+    """
+    i_b = pl.program_id(0)
+    tile = pixel_ref.shape[1]
+    pixel = pixel_ref[0]
+    c = jnp.zeros((tile, hidden), jnp.float32)
+    h = jnp.zeros((tile, hidden), jnp.float32)
+    acc = jnp.zeros((tile, hidden), jnp.float32)
+    for t in range(t_max):  # static unroll: T <= 15
+        gates = pixel + step_ref[0, t, :][None, :] + jnp.dot(
+            h, wh_ref[:], preferred_element_type=jnp.float32)
+        new_c, new_h = lstm_cell(gates, c)
+        keep = valid_ref[i_b, t] > 0
+        c = jnp.where(keep, new_c, c)
+        h = jnp.where(keep, new_h, h)
+        acc = acc + jnp.where(keep, attn_ref[i_b, t] * h, 0.0)
+    out_ref[0] = acc
+
+
+def mlstm_attn_pallas(pixel_term: jnp.ndarray,   # [N, P, 4H] f32
+                      step_term: jnp.ndarray,    # [N, T, 4H] f32
+                      w_h: jnp.ndarray,          # [H, 4H] f32
+                      valid: jnp.ndarray,        # [N, T] bool/int
+                      attn: jnp.ndarray,         # [N, T] f32 softmax weights
+                      tile_p: int = DEFAULT_TILE_P,
+                      interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Returns the attention-weighted output sum acc [N, P, H]."""
+    n, p, four_h = pixel_term.shape
+    hidden = four_h // 4
+    t_max = step_term.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    tile_p = min(tile_p, -(-p // 8) * 8)
+    pad = (-p) % tile_p
+    if pad:
+        pixel_term = jnp.pad(pixel_term, ((0, 0), (0, pad), (0, 0)))
+    num_tiles = (p + pad) // tile_p
+
+    out = pl.pallas_call(
+        functools.partial(_mlstm_attn_kernel, t_max=t_max, hidden=hidden),
+        grid=(n, num_tiles),
+        in_specs=[
+            pl.BlockSpec((n, t_max), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, t_max), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_p, four_h), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_max, four_h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, four_h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_p, hidden), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, p + pad, hidden), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), attn.astype(jnp.float32),
+      pixel_term.astype(jnp.float32), step_term.astype(jnp.float32),
+      w_h.astype(jnp.float32))
+    return out[:, :p]
+
+
+def mlstm_attn_scan(pixel_term: jnp.ndarray, step_term: jnp.ndarray,
+                    w_h: jnp.ndarray, valid: jnp.ndarray,
+                    attn: jnp.ndarray) -> jnp.ndarray:
+    """XLA formulation of the attention-weighted variant (identical math;
+    VJP source and non-TPU fallback)."""
+    n, p, four_h = pixel_term.shape
+    hidden = four_h // 4
+
+    def step(carry, inp):
+        c, h, acc = carry
+        s_t, v_t, a_t = inp
+        gates = pixel_term + s_t[:, None, :] + h @ w_h
+        new_c, new_h = lstm_cell(gates, c)
+        keep = v_t[:, None, None]
+        c = jnp.where(keep, new_c, c)
+        h = jnp.where(keep, new_h, h)
+        acc = acc + jnp.where(keep, a_t[:, None, None] * h, 0.0)
+        return (c, h, acc), None
+
+    z = jnp.zeros((n, p, hidden), jnp.float32)
+    (c, h, acc), _ = jax.lax.scan(
+        step, (z, z, z),
+        (jnp.swapaxes(step_term, 0, 1),
+         jnp.swapaxes(valid.astype(bool), 0, 1),
+         jnp.swapaxes(attn.astype(jnp.float32), 0, 1)))
+    return acc
+
+
+@jax.custom_vjp
+def attn_weighted_pixel_lstm(pixel_term, step_term, w_h, valid, attn):
+    """Fused forward on TPU (scan elsewhere); scan-derived gradients
+    (including d_attn, which flows back into the attention projection).
+    Non-default config path -- the backward recomputes via the scan VJP
+    rather than a dedicated BPTT kernel."""
+    if jax.default_backend() == "tpu":
+        return mlstm_attn_pallas(pixel_term, step_term, w_h, valid, attn)
+    if os.environ.get("MLSTM_PALLAS_INTERPRET") == "1":
+        return mlstm_attn_pallas(pixel_term, step_term, w_h, valid, attn,
+                                 interpret=True)
+    return mlstm_attn_scan(pixel_term, step_term, w_h, valid, attn)
+
+
+def _attn_fwd(pixel_term, step_term, w_h, valid, attn):
+    return (attn_weighted_pixel_lstm(pixel_term, step_term, w_h, valid, attn),
+            (pixel_term, step_term, w_h, valid, attn))
+
+
+def _attn_bwd(res, g):
+    pixel_term, step_term, w_h, valid, attn = res
+    _, vjp = jax.vjp(
+        lambda pt, st, wh, a: mlstm_attn_scan(pt, st, wh, valid, a),
+        pixel_term, step_term, w_h, attn)
+    d_pt, d_st, d_wh, d_attn = vjp(g)
+    return d_pt, d_st, d_wh, None, d_attn
+
+
+attn_weighted_pixel_lstm.defvjp(_attn_fwd, _attn_bwd)
+
+
 def _mlstm_bwd_kernel(valid_ref, pixel_ref, step_ref, wh_ref, g_ref,
                       dpix_ref, dstep_ref, dwh_ref, h_stack, c_stack, *,
                       t_max: int, hidden: int):

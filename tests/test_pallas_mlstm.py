@@ -9,7 +9,8 @@ import numpy as np
 import pytest
 
 from sketchyscenecolorization_tpu.ops.pallas_mlstm import (
-    masked_pixel_lstm, mlstm_pallas, mlstm_scan,
+    attn_weighted_pixel_lstm, masked_pixel_lstm, mlstm_attn_pallas,
+    mlstm_attn_scan, mlstm_pallas, mlstm_scan,
 )
 
 
@@ -60,6 +61,47 @@ def test_custom_vjp_matches_scan_grads():
     g_scan = jax.grad(loss_scan)((pixel, step, w_h))
     for a, b in zip(g_fused, g_scan):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_attn_kernel_matches_scan():
+    """Word-attention variant: the VMEM-accumulated weighted output sum
+    (interpret mode) equals the scan, for end-padded masks and
+    non-tile-aligned P."""
+    pixel, step, w_h = _inputs(p=40)
+    seq_len = jnp.array([3, 5])
+    valid = jnp.arange(5)[None, :] < seq_len[:, None]
+    rng = np.random.RandomState(3)
+    attn = jax.nn.softmax(jnp.asarray(rng.randn(2, 5), jnp.float32), axis=-1)
+    got = mlstm_attn_pallas(pixel, step, w_h, valid, attn, tile_p=16,
+                            interpret=True)
+    want = mlstm_attn_scan(pixel, step, w_h, valid, attn)
+    assert got.shape == (2, 40, 12)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_attn_custom_vjp_matches_scan_grads(monkeypatch):
+    """Gradients of the attention variant (fused interpret forward) equal
+    the scan formulation's -- including d_attn, which feeds the attention
+    projection's backward."""
+    monkeypatch.setenv("MLSTM_PALLAS_INTERPRET", "1")
+    pixel, step, w_h = _inputs(n=1, p=24, hidden=8, t=4)
+    valid = jnp.array([[True, True, True, False]])
+    attn = jax.nn.softmax(jnp.asarray(
+        np.random.RandomState(5).randn(1, 4), jnp.float32), axis=-1)
+
+    def loss_fused(args):
+        return jnp.sum(attn_weighted_pixel_lstm(args[0], args[1], args[2],
+                                                valid, args[3]) ** 2)
+
+    def loss_scan(args):
+        return jnp.sum(mlstm_attn_scan(args[0], args[1], args[2],
+                                       valid, args[3]) ** 2)
+
+    g_fused = jax.grad(loss_fused)((pixel, step, w_h, attn))
+    g_scan = jax.grad(loss_scan)((pixel, step, w_h, attn))
+    for a, b, name in zip(g_fused, g_scan,
+                          ("d_pixel", "d_step", "d_wh", "d_attn")):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6, err_msg=name)
 
 
 def test_pallas_bwd_kernel_matches_scan_grads():
