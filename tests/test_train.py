@@ -102,6 +102,24 @@ def test_masked_l1_matches_gather():
     np.testing.assert_allclose(got, sel.mean(), rtol=1e-5)
 
 
+# Shared compiled artifacts: one jitted train step per config for the whole
+# module (each make_* closure otherwise recompiles for ~1-3 min on the 1-CPU
+# test box).  Tests are functional -- states are never mutated in place.
+@pytest.fixture(scope="module")
+def matching_env():
+    params = jax.jit(lambda k: rmi.init_params(k, SMALL_MATCH))(
+        jax.random.PRNGKey(0))
+    step = make_matching_train_step(SMALL_MATCH, donate=False)
+    return params, step
+
+
+@pytest.fixture(scope="module")
+def fg_env():
+    state = create_fg_gan_state(jax.random.PRNGKey(0), FG_SMALL)
+    step = make_fg_gan_train_step(FG_SMALL, donate=False)
+    return state, step
+
+
 # ---------------------------------------------------------------- matching
 
 def _matching_batch(cfg, batch=1, seed=0):
@@ -114,11 +132,10 @@ def _matching_batch(cfg, batch=1, seed=0):
             "seq_len": jnp.asarray(seq_len), "target_mask": jnp.asarray(target)}
 
 
-def test_matching_train_step_decreases_loss():
+def test_matching_train_step_decreases_loss(matching_env):
     cfg = SMALL_MATCH
-    params = rmi.init_params(jax.random.PRNGKey(0), cfg)
+    params, step = matching_env
     state = create_matching_state(params, cfg)
-    step = make_matching_train_step(cfg, donate=False)
     batch = _matching_batch(cfg)
     state1, m1 = step(state, batch)
     assert np.isfinite(float(m1["cost"]))
@@ -133,13 +150,12 @@ def test_matching_train_step_decreases_loss():
     assert float(m["cls_loss"]) < float(m1["cls_loss"])
 
 
-def test_matching_train_step_data_parallel_matches_single():
+def test_matching_train_step_data_parallel_matches_single(matching_env):
     cfg = SMALL_MATCH
-    params = rmi.init_params(jax.random.PRNGKey(0), cfg)
+    params, step = matching_env
     batch = _matching_batch(cfg, batch=4)
 
     state = create_matching_state(params, cfg)
-    step = make_matching_train_step(cfg, donate=False)
     _, m_single = step(state, batch)
 
     mesh = parallel.create_mesh(data=4)
@@ -171,10 +187,9 @@ def _fg_batch(cfg, seed=0):
     }
 
 
-def test_fg_gan_train_step_runs_and_updates():
+def test_fg_gan_train_step_runs_and_updates(fg_env):
     cfg = FG_SMALL
-    state = create_fg_gan_state(jax.random.PRNGKey(0), cfg)
-    step = make_fg_gan_train_step(cfg, donate=False)
+    state, step = fg_env
     b = _fg_batch(cfg)
     state1, metrics = step(state, b, _fg_batch(cfg, 1), jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss_d"]))
@@ -190,10 +205,9 @@ def test_fg_gan_train_step_runs_and_updates():
     assert int(state1.step) == 1
 
 
-def test_fg_gan_nan_flag():
+def test_fg_gan_nan_flag(fg_env):
     cfg = FG_SMALL
-    state = create_fg_gan_state(jax.random.PRNGKey(0), cfg)
-    step = make_fg_gan_train_step(cfg, donate=False)
+    state, step = fg_env
     bad = _fg_batch(cfg)
     bad["images_d"] = bad["images_d"] * jnp.nan
     _, metrics = step(state, bad, _fg_batch(cfg, 1), jax.random.PRNGKey(1))
@@ -202,8 +216,15 @@ def test_fg_gan_nan_flag():
 
 # ---------------------------------------------------------------- bg gan
 
-BG_SMALL = BGGanConfig(batch_size=1, image_size=64, vocab_size=8, max_len=4,
+BG_SMALL = BGGanConfig(batch_size=2, image_size=64, vocab_size=8, max_len=4,
                        ngf=4, ndf=4, multi_residual=False, max_steps=100)
+
+
+@pytest.fixture(scope="module")
+def bg_env():
+    state = create_bg_gan_state(jax.random.PRNGKey(0), BG_SMALL)
+    step = make_bg_gan_train_step(BG_SMALL, donate=False)
+    return state, step
 
 
 def _bg_batch(cfg, seed=0):
@@ -219,10 +240,9 @@ def _bg_batch(cfg, seed=0):
     }
 
 
-def test_bg_gan_train_step_runs_and_emas():
+def test_bg_gan_train_step_runs_and_emas(bg_env):
     cfg = BG_SMALL
-    state = create_bg_gan_state(jax.random.PRNGKey(0), cfg)
-    step = make_bg_gan_train_step(cfg, donate=False)
+    state, step = bg_env
     batch = _bg_batch(cfg)
     state1, m1 = step(state, batch)
     # first step: EMA == raw losses
@@ -256,16 +276,15 @@ def test_prefetch_and_background_generator():
     assert seen == [0.0, 1.0, 2.0, 3.0, 4.0]
 
 
-def test_fg_gan_train_step_data_parallel_matches_single():
+def test_fg_gan_train_step_data_parallel_matches_single(fg_env):
     cfg = FG_SMALL
-    state = create_fg_gan_state(jax.random.PRNGKey(0), cfg)
-    step = make_fg_gan_train_step(cfg, donate=False)
+    state, step = fg_env
     bd, bg_ = _fg_batch(cfg), _fg_batch(cfg, 1)
     rng = jax.random.PRNGKey(3)
     _, m_single = step(state, bd, bg_, rng)
 
     mesh = parallel.create_mesh(data=2)
-    state_r = parallel.replicate(create_fg_gan_state(jax.random.PRNGKey(0), cfg), mesh)
+    state_r = parallel.replicate(state, mesh)
     bd_s = parallel.shard_batch(bd, mesh)
     bg_s = parallel.shard_batch(bg_, mesh)
     _, m_dp = step(state_r, bd_s, bg_s, rng)
@@ -275,17 +294,14 @@ def test_fg_gan_train_step_data_parallel_matches_single():
                                float(m_single["loss_g"]), rtol=2e-4)
 
 
-def test_bg_gan_train_step_data_parallel_matches_single():
-    import dataclasses
-    cfg = dataclasses.replace(BG_SMALL, batch_size=2)
-    state = create_bg_gan_state(jax.random.PRNGKey(0), cfg)
-    step = make_bg_gan_train_step(cfg, donate=False)
+def test_bg_gan_train_step_data_parallel_matches_single(bg_env):
+    cfg = BG_SMALL
+    state, step = bg_env
     batch = _bg_batch(cfg)
     _, m_single = step(state, batch)
 
     mesh = parallel.create_mesh(data=2)
-    state_r = parallel.replicate(create_bg_gan_state(jax.random.PRNGKey(0),
-                                                     cfg), mesh)
+    state_r = parallel.replicate(state, mesh)
     _, m_dp = step(state_r, parallel.shard_batch(batch, mesh))
     for key in ("discrim_loss", "gen_loss_GAN", "gen_loss_L1",
                 "region_mask_loss", "gen_loss"):
@@ -293,7 +309,7 @@ def test_bg_gan_train_step_data_parallel_matches_single():
                                    rtol=2e-4, err_msg=key)
 
 
-def test_tp_sharded_mlstm_matches_unsharded(monkeypatch):
+def test_tp_sharded_mlstm_matches_unsharded(monkeypatch, matching_env):
     """Tensor parallelism for the hottest op: the shard_map-wrapped Pallas
     mLSTM (pixel dim over 'model', reference ``RMI_model.py:169-200``) must
     reproduce the unsharded forward.  MLSTM_PALLAS_INTERPRET=1 exercises the
@@ -301,7 +317,7 @@ def test_tp_sharded_mlstm_matches_unsharded(monkeypatch):
     import dataclasses
     monkeypatch.setenv("MLSTM_PALLAS_INTERPRET", "1")
     cfg_tp = dataclasses.replace(SMALL_MATCH, shard_mlstm_pixels=True)
-    params = rmi.init_params(jax.random.PRNGKey(0), cfg_tp)
+    params, _ = matching_env
     b = 4
     rng = np.random.RandomState(0)
     image = jnp.asarray(rng.randn(b, cfg_tp.H, cfg_tp.W, 3) * 50, jnp.float32)
@@ -322,7 +338,7 @@ def test_tp_sharded_mlstm_matches_unsharded(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_tp_sharded_matching_train_step(monkeypatch):
+def test_tp_sharded_matching_train_step(monkeypatch, matching_env):
     """Gradients flow through the shard_map-wrapped kernel (custom-VJP incl.
     the psum of the replicated w_h cotangent) under the 4x2 mesh: TWO steps
     must match the unsharded run -- the second step's loss and the updated
@@ -330,10 +346,9 @@ def test_tp_sharded_matching_train_step(monkeypatch):
     import dataclasses
     monkeypatch.setenv("MLSTM_PALLAS_INTERPRET", "1")
     cfg_tp = dataclasses.replace(SMALL_MATCH, shard_mlstm_pixels=True)
-    params = rmi.init_params(jax.random.PRNGKey(0), cfg_tp)
-    batch = _matching_batch(cfg_tp, batch=4)
+    params, step_s = matching_env          # same tree: sharding flags do
+    batch = _matching_batch(cfg_tp, batch=4)  # not affect parameter creation
 
-    step_s = make_matching_train_step(SMALL_MATCH, donate=False)
     state_s = create_matching_state(params, cfg_tp)
     state_s1, m_single = step_s(state_s, batch)
     _, m_single2 = step_s(state_s1, batch)
