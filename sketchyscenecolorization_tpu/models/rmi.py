@@ -34,8 +34,9 @@ import numpy as np
 from ..config import MatchingConfig
 from ..ops.conv import conv2d
 from ..ops.image import tf1_resize_bilinear
-from ..ops.lstm import lstm_cell, masked_lstm_scan
-from ..ops.pallas_mlstm import attn_weighted_pixel_lstm, masked_pixel_lstm
+from ..ops.lstm import masked_lstm_scan
+from ..ops.pallas_mlstm import (attn_weighted_pixel_lstm, masked_pixel_lstm,
+                                recur_attn_pixel_lstm)
 from ..ops.norm import l2_normalize
 from ..ops.spatial import generate_spatial_batch
 from ..ops.activations import atanh_transform
@@ -211,32 +212,19 @@ def _recur_attn_fusion(text: Params, cfg: MatchingConfig,
     Per word step (skipped when the token is <pad>): project h to the word
     space, softmax-attend over the wLSTM outputs, feed the attended vector to
     the mLSTM.  h is initialized from the visual features.
+
+    On TPU this runs the fused Pallas kernel
+    (``ops/pallas_mlstm.recur_attn_pixel_lstm``): every step's input depends
+    on h (no precomputable pixel term), so keeping h/c and the attended
+    features VMEM-resident saves the scan's per-step HBM carry round-trips.
+    Gradients come from the identical scan formulation.
     """
     n, h, w, v_dim = visual_norm.shape
-    t_max = words.shape[1]
     m = cfg.m_rnn_size
-    wm, bm = text["mLSTM"]["w"], text["mLSTM"]["b"]
-    wp, bp = text["h_proj"]["DW"], text["h_proj"]["biases"]
-
     h0 = visual_norm.reshape(n, h * w, v_dim)
-    c0 = jnp.zeros((n, h * w, m), jnp.float32)
-    lang_t = jnp.swapaxes(lang_out, 1, 2)                        # [N, w_rnn, T]
-
-    def step(carry, inp):
-        c, hh = carry
-        tok = inp                                                # [N]
-        h_proj = hh @ wp + bp                                    # [N, P, w_rnn]
-        attn_map = jax.nn.softmax(jnp.einsum("npd,ndt->npt", h_proj, lang_t), axis=-1)
-        attn_feat = jnp.einsum("npt,ntd->npd", attn_map, lang_out)   # [N, P, w_rnn]
-        gates = jnp.concatenate(
-            [attn_feat, hh], axis=-1) @ wm + bm
-        new_c, new_h = lstm_cell(gates, c)
-        valid = (tok != 0)[:, None, None]
-        c = jnp.where(valid, new_c, c)
-        hh = jnp.where(valid, new_h, hh)
-        return (c, hh), None
-
-    (c, hh), _ = jax.lax.scan(step, (c0, h0), jnp.swapaxes(words, 0, 1))
+    hh = recur_attn_pixel_lstm(
+        h0, lang_out, text["h_proj"]["DW"], text["h_proj"]["biases"],
+        text["mLSTM"]["w"], text["mLSTM"]["b"], words != 0)
     return hh.reshape(n, h, w, m)
 
 

@@ -272,6 +272,160 @@ def _attn_bwd(res, g):
 attn_weighted_pixel_lstm.defvjp(_attn_fwd, _attn_bwd)
 
 
+def _recur_attn_kernel(valid_ref, h0_ref, lang_ref, wp_ref, bp_ref, wm_ref,
+                       bm_ref, out_ref, *, t_max: int, hidden: int,
+                       w_rnn: int):
+    """LBIE-style recurrent-attention fusion (``RMI_model.py:224-273``): per
+    word step, project h to the word space, softmax-attend over the wLSTM
+    outputs, and feed the attended vector to the mLSTM.  Unlike the plain
+    mLSTM there is no precomputable pixel term -- EVERY step's input depends
+    on h -- so the scan formulation round-trips the [P, 2H] carry AND the
+    [P, w_rnn] attended features through HBM each step.  Here h/c stay in
+    VMEM and the five per-step matmuls (h@Wp, h_proj.lang^T, attn@lang,
+    attn_feat@Wm_a, h@Wm_h) run back-to-back on the MXU.
+
+    valid_ref: [N, T] int32 (SMEM); h0_ref: [1, TILE, H] (the visual
+    features -- RecurAttn initializes h from them); lang_ref: [1, T, w_rnn]
+    raw wLSTM outputs; wp_ref/bp_ref: h->word projection; wm_ref: mLSTM
+    weight [w_rnn+H, 4H] (TF row layout); out_ref: [1, TILE, H].
+    """
+    i_b = pl.program_id(0)
+    tile = h0_ref.shape[1]
+    lang = lang_ref[0]                                       # [T, w_rnn]
+    wm_a = wm_ref[:w_rnn]                                    # [w_rnn, 4H]
+    wm_h = wm_ref[w_rnn:]                                    # [H, 4H]
+    c = jnp.zeros((tile, hidden), jnp.float32)
+    h = h0_ref[0]
+    for t in range(t_max):  # static unroll: T <= 15
+        h_proj = jnp.dot(h, wp_ref[:],
+                         preferred_element_type=jnp.float32) + bp_ref[0]
+        logits = jax.lax.dot_general(                        # [tile, T]
+            h_proj, lang, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn_feat = jnp.dot(attn, lang,
+                            preferred_element_type=jnp.float32)
+        gates = jnp.dot(attn_feat, wm_a,
+                        preferred_element_type=jnp.float32) \
+            + jnp.dot(h, wm_h, preferred_element_type=jnp.float32) \
+            + bm_ref[0]
+        new_c, new_h = lstm_cell(gates, c)
+        keep = valid_ref[i_b, t] > 0
+        c = jnp.where(keep, new_c, c)
+        h = jnp.where(keep, new_h, h)
+    out_ref[0] = h
+
+
+def recur_attn_pallas(h0: jnp.ndarray,      # [N, P, H] f32 (visual features)
+                      lang: jnp.ndarray,    # [N, T, w_rnn] f32 wLSTM outputs
+                      wp: jnp.ndarray,      # [H, w_rnn] f32
+                      bp: jnp.ndarray,      # [w_rnn] f32
+                      wm: jnp.ndarray,      # [w_rnn + H, 4H] f32
+                      bm: jnp.ndarray,      # [4H] f32
+                      valid: jnp.ndarray,   # [N, T] bool/int
+                      tile_p: int = DEFAULT_TILE_P,
+                      interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Returns the final hidden state h [N, P, H]."""
+    n, p, hidden = h0.shape
+    t_max, w_rnn = lang.shape[1], lang.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    tile_p = min(tile_p, -(-p // 8) * 8)
+    pad = (-p) % tile_p
+    if pad:
+        h0 = jnp.pad(h0, ((0, 0), (0, pad), (0, 0)))
+    num_tiles = (p + pad) // tile_p
+
+    out = pl.pallas_call(
+        functools.partial(_recur_attn_kernel, t_max=t_max, hidden=hidden,
+                          w_rnn=w_rnn),
+        grid=(n, num_tiles),
+        in_specs=[
+            pl.BlockSpec((n, t_max), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_p, hidden), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_max, w_rnn), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, w_rnn), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w_rnn), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_rnn + hidden, 4 * hidden), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_p, hidden), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, p + pad, hidden), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), h0.astype(jnp.float32),
+      lang.astype(jnp.float32), wp.astype(jnp.float32),
+      bp.astype(jnp.float32).reshape(1, -1), wm.astype(jnp.float32),
+      bm.astype(jnp.float32).reshape(1, -1))
+    return out[:, :p]
+
+
+def recur_attn_scan(h0: jnp.ndarray, lang: jnp.ndarray, wp: jnp.ndarray,
+                    bp: jnp.ndarray, wm: jnp.ndarray, bm: jnp.ndarray,
+                    valid: jnp.ndarray) -> jnp.ndarray:
+    """XLA formulation (identical math; VJP source and non-TPU fallback)."""
+    n, p, hidden = h0.shape
+    lang_t = jnp.swapaxes(lang, 1, 2)                        # [N, w_rnn, T]
+
+    def step(carry, v_t):
+        c, h = carry
+        h_proj = h @ wp + bp                                 # [N, P, w_rnn]
+        attn = jax.nn.softmax(
+            jnp.einsum("npd,ndt->npt", h_proj, lang_t), axis=-1)
+        attn_feat = jnp.einsum("npt,ntd->npd", attn, lang)   # [N, P, w_rnn]
+        gates = jnp.concatenate([attn_feat, h], axis=-1) @ wm + bm
+        new_c, new_h = lstm_cell(gates, c)
+        keep = v_t[:, None, None]
+        c = jnp.where(keep, new_c, c)
+        h = jnp.where(keep, new_h, h)
+        return (c, h), None
+
+    c0 = jnp.zeros((n, p, hidden), jnp.float32)
+    (c, h), _ = jax.lax.scan(step, (c0, h0),
+                             jnp.swapaxes(valid.astype(bool), 0, 1))
+    return h
+
+
+@jax.custom_vjp
+def recur_attn_pixel_lstm(h0, lang, wp, bp, wm, bm, valid):
+    """Fused forward on TPU (scan elsewhere); scan-derived gradients.
+    Non-default config path (``fusion_type='RecurAttn'``) -- the backward
+    recomputes via the scan VJP rather than a dedicated BPTT kernel."""
+    if jax.default_backend() == "tpu":
+        return recur_attn_pallas(h0, lang, wp, bp, wm, bm, valid)
+    if os.environ.get("MLSTM_PALLAS_INTERPRET") == "1":
+        return recur_attn_pallas(h0, lang, wp, bp, wm, bm, valid,
+                                 interpret=True)
+    return recur_attn_scan(h0, lang, wp, bp, wm, bm, valid)
+
+
+def _recur_attn_fwd(h0, lang, wp, bp, wm, bm, valid):
+    return (recur_attn_pixel_lstm(h0, lang, wp, bp, wm, bm, valid),
+            (h0, lang, wp, bp, wm, bm, valid))
+
+
+def _recur_attn_bwd(res, g):
+    h0, lang, wp, bp, wm, bm, valid = res
+    _, vjp = jax.vjp(
+        lambda h0_, lang_, wp_, bp_, wm_, bm_:
+            recur_attn_scan(h0_, lang_, wp_, bp_, wm_, bm_, valid),
+        h0, lang, wp, bp, wm, bm)
+    return (*vjp(g), None)
+
+
+recur_attn_pixel_lstm.defvjp(_recur_attn_fwd, _recur_attn_bwd)
+
+
 def _mlstm_bwd_kernel(valid_ref, pixel_ref, step_ref, wh_ref, g_ref,
                       dpix_ref, dstep_ref, dwh_ref, h_stack, c_stack, *,
                       t_max: int, hidden: int):

@@ -10,7 +10,8 @@ import pytest
 
 from sketchyscenecolorization_tpu.ops.pallas_mlstm import (
     attn_weighted_pixel_lstm, masked_pixel_lstm, mlstm_attn_pallas,
-    mlstm_attn_scan, mlstm_pallas, mlstm_scan,
+    mlstm_attn_scan, mlstm_pallas, mlstm_scan, recur_attn_pallas,
+    recur_attn_pixel_lstm, recur_attn_scan,
 )
 
 
@@ -102,6 +103,52 @@ def test_attn_custom_vjp_matches_scan_grads(monkeypatch):
     for a, b, name in zip(g_fused, g_scan,
                           ("d_pixel", "d_step", "d_wh", "d_attn")):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def _recur_attn_inputs(n=2, p=40, hidden=12, w_rnn=10, t=5, seed=0):
+    rng = np.random.RandomState(seed)
+    h0 = jnp.asarray(rng.randn(n, p, hidden), jnp.float32) * 0.3
+    lang = jnp.asarray(rng.randn(n, t, w_rnn), jnp.float32) * 0.3
+    wp = jnp.asarray(rng.randn(hidden, w_rnn), jnp.float32) * 0.2
+    bp = jnp.asarray(rng.randn(w_rnn), jnp.float32) * 0.1
+    wm = jnp.asarray(rng.randn(w_rnn + hidden, 4 * hidden), jnp.float32) * 0.2
+    bm = jnp.asarray(rng.randn(4 * hidden), jnp.float32) * 0.1
+    return h0, lang, wp, bp, wm, bm
+
+
+def test_recur_attn_kernel_matches_scan():
+    """RecurAttn fusion (``RMI_model.py:224-273``): the fused kernel
+    (interpret mode) equals the scan for front-pad masks (token != 0 --
+    RecurAttn skips pad steps wherever they fall) and non-tile-aligned P."""
+    args = _recur_attn_inputs(p=40)
+    for valid_rows in ([[True] * 5, [True, True, True, False, False]],
+                       [[False, False, True, True, True]] * 2):
+        valid = jnp.asarray(np.array(valid_rows))
+        got = recur_attn_pallas(*args, valid, tile_p=16, interpret=True)
+        want = recur_attn_scan(*args, valid)
+        assert got.shape == (2, 40, 12)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_recur_attn_custom_vjp_matches_scan_grads(monkeypatch):
+    """Gradients of the RecurAttn op (fused interpret forward, scan-derived
+    backward) equal differentiating the scan directly -- for every input
+    including the h->word projection and the mLSTM weight."""
+    monkeypatch.setenv("MLSTM_PALLAS_INTERPRET", "1")
+    args = _recur_attn_inputs(n=1, p=24, hidden=8, w_rnn=6, t=4, seed=3)
+    valid = jnp.array([[True, True, True, False]])
+
+    def loss_fused(a):
+        return jnp.sum(recur_attn_pixel_lstm(*a, valid) ** 2)
+
+    def loss_scan(a):
+        return jnp.sum(recur_attn_scan(*a, valid) ** 2)
+
+    g_fused = jax.grad(loss_fused)(args)
+    g_scan = jax.grad(loss_scan)(args)
+    for a, b, name in zip(g_fused, g_scan,
+                          ("d_h0", "d_lang", "d_wp", "d_bp", "d_wm", "d_bm")):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5, err_msg=name)
 
 
 def test_pallas_bwd_kernel_matches_scan_grads():
