@@ -222,9 +222,21 @@ def _recur_attn_fusion(text: Params, cfg: MatchingConfig,
     n, h, w, v_dim = visual_norm.shape
     m = cfg.m_rnn_size
     h0 = visual_norm.reshape(n, h * w, v_dim)
-    hh = recur_attn_pixel_lstm(
-        h0, lang_out, text["h_proj"]["DW"], text["h_proj"]["biases"],
-        text["mLSTM"]["w"], text["mLSTM"]["b"], words != 0)
+    args = (h0, lang_out, text["h_proj"]["DW"], text["h_proj"]["biases"],
+            text["mLSTM"]["w"], text["mLSTM"]["b"], words != 0)
+    if cfg.shard_mlstm_pixels:
+        # pixel sequences are independent, so sharding P over 'model' needs
+        # no collectives inside the recurrence (see _rmi_fusion)
+        from jax.sharding import PartitionSpec as P
+        hh = jax.shard_map(
+            recur_attn_pixel_lstm,
+            in_specs=(P("data", "model", None), P("data", None, None),
+                      P(None, None), P(None), P(None, None), P(None),
+                      P("data", None)),
+            out_specs=P("data", "model", None), check_vma=False,
+        )(*args)
+    else:
+        hh = recur_attn_pixel_lstm(*args)
     return hh.reshape(n, h, w, m)
 
 
