@@ -331,8 +331,46 @@ def bench_mlstm_kernel():
             best = min(best, (time.perf_counter() - t0 - latency) / iters)
         return round(best * 1e3, 2)
 
-    return {"fused_fwd_bwd_ms": timed(masked_pixel_lstm),
-            "scan_fwd_bwd_ms": timed(mlstm_scan)}
+    out = {"fused_fwd_bwd_ms": timed(masked_pixel_lstm),
+           "scan_fwd_bwd_ms": timed(mlstm_scan)}
+
+    # RecurAttn fusion variant A/B at ITS full size (m_rnn = w_rnn = 256
+    # per config __post_init__): fused forward + scan-derived bwd vs scan
+    from sketchyscenecolorization_tpu.ops.pallas_mlstm import (
+        recur_attn_pixel_lstm, recur_attn_scan)
+    m, w_rnn = 256, 256
+    h0 = jnp.asarray(rng.randn(1, p, m).astype(np.float32) * 0.1)
+    lang = jnp.asarray(rng.randn(1, t, w_rnn).astype(np.float32) * 0.1)
+    wp = jnp.asarray(rng.randn(m, w_rnn).astype(np.float32) * 0.05)
+    bp = jnp.zeros((w_rnn,), jnp.float32)
+    wm = jnp.asarray(rng.randn(w_rnn + m, 4 * m).astype(np.float32) * 0.05)
+    bm = jnp.zeros((4 * m,), jnp.float32)
+
+    def timed_ra(f):
+        @jax.jit
+        def fwd_bwd(h0_, lang_, carry):
+            def loss(args):
+                return jnp.sum(f(args[0], args[1], wp, bp, wm, bm, valid) ** 2)
+            val, grads = jax.value_and_grad(loss)((h0_ + carry * 1e-12, lang_))
+            return carry + val * 1e-9 + sum(jnp.sum(g) for g in grads) * 1e-9
+
+        zero = jnp.zeros((), jnp.float32)
+        float(fwd_bwd(h0, lang, zero))
+        latency = _fetch_latency()
+        best = float("inf")
+        iters = 8
+        for _ in range(3):
+            t0 = time.perf_counter()
+            carry = zero
+            for _ in range(iters):
+                carry = fwd_bwd(h0, lang, carry)
+            float(carry)
+            best = min(best, (time.perf_counter() - t0 - latency) / iters)
+        return round(best * 1e3, 2)
+
+    out["recur_attn_fused_fwd_bwd_ms"] = timed_ra(recur_attn_pixel_lstm)
+    out["recur_attn_scan_fwd_bwd_ms"] = timed_ra(recur_attn_scan)
+    return out
 
 
 # ------------------------------------------------------------------ train
