@@ -243,10 +243,9 @@ def mlstm_attn_scan(pixel_term: jnp.ndarray, step_term: jnp.ndarray,
 
 @jax.custom_vjp
 def attn_weighted_pixel_lstm(pixel_term, step_term, w_h, valid, attn):
-    """Fused forward on TPU (scan elsewhere); scan-derived gradients
-    (including d_attn, which flows back into the attention projection).
-    Non-default config path -- the backward recomputes via the scan VJP
-    rather than a dedicated BPTT kernel."""
+    """Fused forward AND fused BPTT backward on TPU (scan + scan-VJP
+    elsewhere); gradients include d_attn, which flows back into the
+    attention projection."""
     if jax.default_backend() == "tpu":
         return mlstm_attn_pallas(pixel_term, step_term, w_h, valid, attn)
     if os.environ.get("MLSTM_PALLAS_INTERPRET") == "1":
@@ -262,6 +261,11 @@ def _attn_fwd(pixel_term, step_term, w_h, valid, attn):
 
 def _attn_bwd(res, g):
     pixel_term, step_term, w_h, valid, attn = res
+    if jax.default_backend() == "tpu" or \
+            os.environ.get("MLSTM_PALLAS_INTERPRET") == "1":
+        d_pt, d_st, d_wh, d_attn = mlstm_attn_pallas_bwd(
+            pixel_term, step_term, w_h, valid, attn, g)
+        return d_pt, d_st, d_wh, None, d_attn
     _, vjp = jax.vjp(
         lambda pt, st, wh, a: mlstm_attn_scan(pt, st, wh, valid, a),
         pixel_term, step_term, w_h, attn)
@@ -270,6 +274,157 @@ def _attn_bwd(res, g):
 
 
 attn_weighted_pixel_lstm.defvjp(_attn_fwd, _attn_bwd)
+
+
+def _mlstm_attn_bwd_kernel(valid_ref, attn_ref, pixel_ref, step_ref, wh_ref,
+                           g_ref, dpix_ref, dstep_ref, dwh_ref, dattn_ref,
+                           h_stack, c_stack, *, t_max: int, hidden: int):
+    """Fused BPTT for the word-attention variant: same staging/reverse-sweep
+    structure as ``_mlstm_bwd_kernel``, with two deltas from the output being
+    ``acc = sum_t attn[t] * h_t`` instead of the final h:
+
+    - dh starts at 0 and gains ``attn[t] * g`` at every kept step (each h_t
+      feeds the accumulator directly, on top of the recurrent backflow);
+    - d_attn[t] = <g, h_t> summed over the pixel tile (h_t recomputed in the
+      reverse sweep), accumulated across tiles via a revisited block.
+    """
+    i_b = pl.program_id(0)
+    j_t = pl.program_id(1)
+    tile = pixel_ref.shape[1]
+    pixel = pixel_ref[0]
+    c = jnp.zeros((tile, hidden), jnp.float32)
+    h = jnp.zeros((tile, hidden), jnp.float32)
+    for t in range(t_max):
+        h_stack[t] = h
+        c_stack[t] = c
+        gates = pixel + step_ref[0, t, :][None, :] + jnp.dot(
+            h, wh_ref[:], preferred_element_type=jnp.float32)
+        new_c, new_h = lstm_cell(gates, c)
+        keep = valid_ref[i_b, t] > 0
+        c = jnp.where(keep, new_c, c)
+        h = jnp.where(keep, new_h, h)
+
+    @pl.when(j_t == 0)
+    def _init_dstep():
+        dstep_ref[0] = jnp.zeros_like(dstep_ref[0])
+
+    @pl.when(jnp.logical_and(i_b == 0, j_t == 0))
+    def _init_dwh():
+        dwh_ref[...] = jnp.zeros_like(dwh_ref[...])
+
+    @pl.when(j_t == 0)
+    def _init_dattn():
+        dattn_ref[0] = jnp.zeros_like(dattn_ref[0])
+
+    dpix_ref[0] = jnp.zeros_like(dpix_ref[0])
+    g = g_ref[0]
+    dh = jnp.zeros((tile, hidden), jnp.float32)
+    dc = jnp.zeros((tile, hidden), jnp.float32)
+    dattn_rows = [None] * t_max
+    for t in range(t_max - 1, -1, -1):
+        keep = valid_ref[i_b, t] > 0
+        h_prev = h_stack[t]
+        c_prev = c_stack[t]
+        gates = pixel + step_ref[0, t, :][None, :] + jnp.dot(
+            h_prev, wh_ref[:], preferred_element_type=jnp.float32)
+        i, j, f, o = (gates[:, k * hidden:(k + 1) * hidden] for k in range(4))
+        si = jax.nn.sigmoid(i)
+        tj = jnp.tanh(j)
+        sf = jax.nn.sigmoid(f + 1.0)
+        so = jax.nn.sigmoid(o)
+        c_t = c_prev * sf + si * tj
+        tc = jnp.tanh(c_t)
+        h_t = so * tc                                    # post-step h if kept
+
+        # acc-term contributions (zero when the step was masked)
+        dattn_rows[t] = jnp.where(keep, jnp.sum(g * h_t), 0.0)
+        dh = dh + jnp.where(keep, attn_ref[i_b, t] * g, 0.0)
+
+        do = dh * tc * so * (1.0 - so)
+        dct = dc + dh * so * (1.0 - tc * tc)
+        df = dct * c_prev * sf * (1.0 - sf)
+        di = dct * tj * si * (1.0 - si)
+        dj = dct * si * (1.0 - tj * tj)
+        dgates = jnp.concatenate([di, dj, df, do], axis=-1)
+        dgates = jnp.where(keep, dgates, 0.0)
+
+        dpix_ref[0] = dpix_ref[0] + dgates
+        dstep_ref[0, t:t + 1] = dstep_ref[0, t:t + 1] \
+            + jnp.sum(dgates, axis=0, keepdims=True)
+        dwh_ref[...] = dwh_ref[...] + jnp.dot(
+            h_prev.T, dgates, preferred_element_type=jnp.float32)
+        dh_new = jnp.dot(dgates, wh_ref[:].T,
+                         preferred_element_type=jnp.float32)
+        dh = jnp.where(keep, dh_new, dh)
+        dc = jnp.where(keep, dct * sf, dc)
+    dattn_ref[0] = dattn_ref[0] + jnp.stack(dattn_rows)
+
+
+def mlstm_attn_pallas_bwd(pixel_term, step_term, w_h, valid, attn, g,
+                          tile_p: Optional[int] = None,
+                          interpret: Optional[bool] = None):
+    """Gradients (d_pixel_term, d_step_term, d_w_h, d_attn) of the
+    attention-weighted output sum wrt the kernel inputs."""
+    if tile_p is None:
+        tile_p = DEFAULT_BWD_TILE_P
+    n, p, four_h = pixel_term.shape
+    hidden = four_h // 4
+    t_max = step_term.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    tile_p = min(tile_p, -(-p // 8) * 8)
+    pad = (-p) % tile_p
+    if pad:
+        pixel_term = jnp.pad(pixel_term, ((0, 0), (0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    num_tiles = (p + pad) // tile_p
+
+    dpix, dstep, dwh, dattn = pl.pallas_call(
+        functools.partial(_mlstm_attn_bwd_kernel, t_max=t_max, hidden=hidden),
+        grid=(n, num_tiles),
+        in_specs=[
+            pl.BlockSpec((n, t_max), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, t_max), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_p, four_h), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_max, four_h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, four_h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, hidden), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_p, four_h), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # revisited blocks: accumulated in place across the grid
+            pl.BlockSpec((1, t_max, four_h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, four_h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_max), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, p + pad, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((n, t_max, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((n, t_max), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t_max, tile_p, hidden), jnp.float32),
+            pltpu.VMEM((t_max, tile_p, hidden), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), attn.astype(jnp.float32),
+      pixel_term.astype(jnp.float32), step_term.astype(jnp.float32),
+      w_h.astype(jnp.float32), g.astype(jnp.float32))
+    return dpix[:, :p], dstep, dwh, dattn
 
 
 def _recur_attn_kernel(valid_ref, h0_ref, lang_ref, wp_ref, bp_ref, wm_ref,

@@ -105,6 +105,33 @@ def test_attn_custom_vjp_matches_scan_grads(monkeypatch):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6, err_msg=name)
 
 
+def test_attn_bwd_kernel_matches_scan_grads():
+    """The fused attention-variant BPTT kernel (interpret mode) reproduces
+    the scan-VJP gradients -- d_pixel/d_step/d_wh AND d_attn -- for both
+    masking schemes and non-tile-aligned P."""
+    from sketchyscenecolorization_tpu.ops.pallas_mlstm import (
+        mlstm_attn_pallas_bwd)
+    for seed, valid_rows in ((0, [[True] * 5, [True, True, True, False, False]]),
+                             (1, [[False, False, True, True, True]] * 2)):
+        pixel, step, w_h = _inputs(n=2, p=40, hidden=12, t=5, seed=seed)
+        valid = jnp.asarray(np.array(valid_rows))
+        rng = np.random.RandomState(seed + 7)
+        attn = jax.nn.softmax(jnp.asarray(rng.randn(2, 5), jnp.float32),
+                              axis=-1)
+        g = jnp.asarray(rng.randn(2, 40, 12), jnp.float32)
+
+        _, vjp = jax.vjp(
+            lambda pt, st, wh, a: mlstm_attn_scan(pt, st, wh, valid, a),
+            pixel, step, w_h, attn)
+        want = vjp(g)
+        got = mlstm_attn_pallas_bwd(pixel, step, w_h, valid, attn, g,
+                                    tile_p=16, interpret=True)
+        for a, b, name in zip(got, want,
+                              ("d_pixel", "d_step", "d_wh", "d_attn")):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                       err_msg=name)
+
+
 def _recur_attn_inputs(n=2, p=40, hidden=12, w_rnn=10, t=5, seed=0):
     rng = np.random.RandomState(seed)
     h0 = jnp.asarray(rng.randn(n, p, hidden), jnp.float32) * 0.3
