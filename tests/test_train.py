@@ -377,6 +377,38 @@ def test_tp_sharded_matching_train_step(monkeypatch, matching_env):
     assert grad_moved > 0.0          # the comparison is not vacuous
 
 
+def test_tp_sharded_word_attn_matches_unsharded(monkeypatch):
+    """The word-attention variant's shard_map path (fused forward + fused
+    BPTT backward per shard) reproduces the unsharded forward and one train
+    step's loss on the 4x2 mesh (``RMI_model.py:203-217``)."""
+    import dataclasses
+    monkeypatch.setenv("MLSTM_PALLAS_INTERPRET", "1")
+    cfg = dataclasses.replace(SMALL_MATCH, use_attn=True)
+    cfg_tp = dataclasses.replace(cfg, shard_mlstm_pixels=True)
+    params = jax.jit(lambda k: rmi.init_params(k, cfg))(jax.random.PRNGKey(0))
+    batch = _matching_batch(cfg, batch=4)
+
+    ref = jax.jit(lambda p: rmi.apply(p, cfg, batch["image"], batch["words"],
+                                      batch["seq_len"]).up)(params)
+    step_s = make_matching_train_step(cfg, donate=False)
+    _, m_single = step_s(create_matching_state(params, cfg), batch)
+
+    mesh = parallel.create_mesh(data=4, model=2)
+    step = make_matching_train_step(cfg_tp, donate=False)
+    with jax.set_mesh(mesh):
+        tp = jax.jit(lambda p, i, w, l: rmi.apply(p, cfg_tp, i, w, l).up)(
+            parallel.replicate(params, mesh),
+            *(jax.device_put(x, parallel.data_sharding(mesh, x.ndim))
+              for x in (batch["image"], batch["words"], batch["seq_len"])))
+        _, m_tp = step(parallel.replicate(create_matching_state(params, cfg_tp),
+                                          mesh),
+                       parallel.shard_batch(batch, mesh))
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(m_tp["cls_loss"]),
+                               float(m_single["cls_loss"]), rtol=2e-4)
+
+
 def test_tp_sharded_recur_attn_matches_unsharded(monkeypatch):
     """The RecurAttn fusion's shard_map path (pixel dim over 'model', fused
     kernel per shard) reproduces the unsharded forward AND one train step's
