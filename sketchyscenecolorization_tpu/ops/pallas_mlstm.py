@@ -551,11 +551,201 @@ def recur_attn_scan(h0: jnp.ndarray, lang: jnp.ndarray, wp: jnp.ndarray,
     return h
 
 
+def _recur_attn_bwd_kernel(valid_ref, h0_ref, lang_ref, wp_ref, bp_ref,
+                           wm_ref, bm_ref, g_ref, dh0_ref, dlang_ref,
+                           dwp_ref, dbp_ref, dwm_ref, dbm_ref,
+                           h_stack, c_stack, *, t_max: int, hidden: int,
+                           w_rnn: int):
+    """Fused BPTT for the RecurAttn fusion: forward recomputed with the h/c
+    trajectories staged in VMEM scratch, then the reverse sweep recomputes
+    each step's attention (h_proj -> logits -> softmax -> attended vector)
+    and backpropagates through it analytically -- softmax VJP
+    ``y*(g - <g,y>)``, both lang contributions (the logits contraction and
+    the attention-weighted sum), and the h->word projection -- entirely in
+    VMEM.  Weight/bias/lang gradients accumulate in revisited output blocks
+    across the sequential TPU grid (same pattern as ``_mlstm_bwd_kernel``).
+    """
+    i_b = pl.program_id(0)
+    j_t = pl.program_id(1)
+    tile = h0_ref.shape[1]
+    lang = lang_ref[0]                                       # [T, w_rnn]
+    wm_a = wm_ref[:w_rnn]
+    wm_h = wm_ref[w_rnn:]
+    c = jnp.zeros((tile, hidden), jnp.float32)
+    h = h0_ref[0]
+    for t in range(t_max):
+        h_stack[t] = h
+        c_stack[t] = c
+        h_proj = jnp.dot(h, wp_ref[:],
+                         preferred_element_type=jnp.float32) + bp_ref[0]
+        attn = jax.nn.softmax(jax.lax.dot_general(
+            h_proj, lang, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32), axis=-1)
+        x = jnp.dot(attn, lang, preferred_element_type=jnp.float32)
+        gates = jnp.dot(x, wm_a, preferred_element_type=jnp.float32) \
+            + jnp.dot(h, wm_h, preferred_element_type=jnp.float32) + bm_ref[0]
+        new_c, new_h = lstm_cell(gates, c)
+        keep = valid_ref[i_b, t] > 0
+        c = jnp.where(keep, new_c, c)
+        h = jnp.where(keep, new_h, h)
+
+    @pl.when(j_t == 0)
+    def _init_dlang():
+        dlang_ref[0] = jnp.zeros_like(dlang_ref[0])
+
+    @pl.when(jnp.logical_and(i_b == 0, j_t == 0))
+    def _init_weight_grads():
+        dwp_ref[...] = jnp.zeros_like(dwp_ref[...])
+        dbp_ref[0] = jnp.zeros_like(dbp_ref[0])
+        dwm_ref[...] = jnp.zeros_like(dwm_ref[...])
+        dbm_ref[0] = jnp.zeros_like(dbm_ref[0])
+
+    dh = g_ref[0]
+    dc = jnp.zeros((tile, hidden), jnp.float32)
+    for t in range(t_max - 1, -1, -1):
+        keep = valid_ref[i_b, t] > 0
+        h_prev = h_stack[t]
+        c_prev = c_stack[t]
+        # recompute the step
+        h_proj = jnp.dot(h_prev, wp_ref[:],
+                         preferred_element_type=jnp.float32) + bp_ref[0]
+        attn = jax.nn.softmax(jax.lax.dot_general(
+            h_proj, lang, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32), axis=-1)
+        x = jnp.dot(attn, lang, preferred_element_type=jnp.float32)
+        gates = jnp.dot(x, wm_a, preferred_element_type=jnp.float32) \
+            + jnp.dot(h_prev, wm_h,
+                      preferred_element_type=jnp.float32) + bm_ref[0]
+        i, j, f, o = (gates[:, k * hidden:(k + 1) * hidden] for k in range(4))
+        si = jax.nn.sigmoid(i)
+        tj = jnp.tanh(j)
+        sf = jax.nn.sigmoid(f + 1.0)
+        so = jax.nn.sigmoid(o)
+        c_t = c_prev * sf + si * tj
+        tc = jnp.tanh(c_t)
+
+        do = dh * tc * so * (1.0 - so)
+        dct = dc + dh * so * (1.0 - tc * tc)
+        df = dct * c_prev * sf * (1.0 - sf)
+        di = dct * tj * si * (1.0 - si)
+        dj = dct * si * (1.0 - tj * tj)
+        dgates = jnp.concatenate([di, dj, df, do], axis=-1)
+        dgates = jnp.where(keep, dgates, 0.0)    # masks every term below
+
+        dx = jnp.dot(dgates, wm_a.T, preferred_element_type=jnp.float32)
+        # softmax VJP: dlogits = attn * (dattn - <dattn, attn>)
+        dattn = jax.lax.dot_general(                         # [tile, T]
+            dx, lang, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dlogits = attn * (dattn
+                          - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+        dhp = jnp.dot(dlogits, lang, preferred_element_type=jnp.float32)
+
+        dwm_ref[:w_rnn] = dwm_ref[:w_rnn] + jnp.dot(
+            x.T, dgates, preferred_element_type=jnp.float32)
+        dwm_ref[w_rnn:] = dwm_ref[w_rnn:] + jnp.dot(
+            h_prev.T, dgates, preferred_element_type=jnp.float32)
+        dbm_ref[0] = dbm_ref[0] + jnp.sum(dgates, axis=0)
+        dwp_ref[...] = dwp_ref[...] + jnp.dot(
+            h_prev.T, dhp, preferred_element_type=jnp.float32)
+        dbp_ref[0] = dbp_ref[0] + jnp.sum(dhp, axis=0)
+        # lang feeds the logits contraction AND the attention-weighted sum
+        dlang_ref[0] = dlang_ref[0] \
+            + jax.lax.dot_general(attn, dx, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32) \
+            + jax.lax.dot_general(dlogits, h_proj, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+        dh_new = jnp.dot(dhp, wp_ref[:].T,
+                         preferred_element_type=jnp.float32) \
+            + jnp.dot(dgates, wm_h.T, preferred_element_type=jnp.float32)
+        dh = jnp.where(keep, dh_new, dh)
+        dc = jnp.where(keep, dct * sf, dc)
+    dh0_ref[0] = dh
+
+
+def recur_attn_pallas_bwd(h0, lang, wp, bp, wm, bm, valid, g,
+                          tile_p: Optional[int] = None,
+                          interpret: Optional[bool] = None):
+    """Gradients (d_h0, d_lang, d_wp, d_bp, d_wm, d_bm) of the final hidden
+    state wrt every RecurAttn input."""
+    if tile_p is None:
+        tile_p = DEFAULT_BWD_TILE_P
+    n, p, hidden = h0.shape
+    t_max, w_rnn = lang.shape[1], lang.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    tile_p = min(tile_p, -(-p // 8) * 8)
+    pad = (-p) % tile_p
+    if pad:
+        h0 = jnp.pad(h0, ((0, 0), (0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    num_tiles = (p + pad) // tile_p
+
+    dh0, dlang, dwp, dbp, dwm, dbm = pl.pallas_call(
+        functools.partial(_recur_attn_bwd_kernel, t_max=t_max, hidden=hidden,
+                          w_rnn=w_rnn),
+        grid=(n, num_tiles),
+        in_specs=[
+            pl.BlockSpec((n, t_max), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_p, hidden), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_max, w_rnn), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, w_rnn), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w_rnn), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_rnn + hidden, 4 * hidden), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, hidden), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_p, hidden), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # revisited blocks: accumulated in place across the grid
+            pl.BlockSpec((1, t_max, w_rnn), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, w_rnn), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w_rnn), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_rnn + hidden, 4 * hidden), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, p + pad, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((n, t_max, w_rnn), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, w_rnn), jnp.float32),
+            jax.ShapeDtypeStruct((1, w_rnn), jnp.float32),
+            jax.ShapeDtypeStruct((w_rnn + hidden, 4 * hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * hidden), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t_max, tile_p, hidden), jnp.float32),
+            pltpu.VMEM((t_max, tile_p, hidden), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), h0.astype(jnp.float32),
+      lang.astype(jnp.float32), wp.astype(jnp.float32),
+      bp.astype(jnp.float32).reshape(1, -1), wm.astype(jnp.float32),
+      bm.astype(jnp.float32).reshape(1, -1), g.astype(jnp.float32))
+    return (dh0[:, :p], dlang, dwp, dbp.reshape(-1), dwm, dbm.reshape(-1))
+
+
 @jax.custom_vjp
 def recur_attn_pixel_lstm(h0, lang, wp, bp, wm, bm, valid):
-    """Fused forward on TPU (scan elsewhere); scan-derived gradients.
-    Non-default config path (``fusion_type='RecurAttn'``) -- the backward
-    recomputes via the scan VJP rather than a dedicated BPTT kernel."""
+    """Fused forward AND fused BPTT backward on TPU (scan + scan-VJP
+    elsewhere).  Non-default config path (``fusion_type='RecurAttn'``)."""
     if jax.default_backend() == "tpu":
         return recur_attn_pallas(h0, lang, wp, bp, wm, bm, valid)
     if os.environ.get("MLSTM_PALLAS_INTERPRET") == "1":
@@ -571,6 +761,10 @@ def _recur_attn_fwd(h0, lang, wp, bp, wm, bm, valid):
 
 def _recur_attn_bwd(res, g):
     h0, lang, wp, bp, wm, bm, valid = res
+    if jax.default_backend() == "tpu" or \
+            os.environ.get("MLSTM_PALLAS_INTERPRET") == "1":
+        return (*recur_attn_pallas_bwd(h0, lang, wp, bp, wm, bm, valid, g),
+                None)
     _, vjp = jax.vjp(
         lambda h0_, lang_, wp_, bp_, wm_, bm_:
             recur_attn_scan(h0_, lang_, wp_, bp_, wm_, bm_, valid),

@@ -157,6 +157,31 @@ def test_recur_attn_kernel_matches_scan():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_recur_attn_bwd_kernel_matches_scan_grads():
+    """The fused RecurAttn BPTT kernel (interpret mode) reproduces the
+    scan-VJP gradients for all six inputs -- including the softmax VJP, both
+    lang contributions, and the h->word projection -- under both masking
+    layouts and non-tile-aligned P."""
+    from sketchyscenecolorization_tpu.ops.pallas_mlstm import (
+        recur_attn_pallas_bwd)
+    for seed, valid_rows in ((0, [[True] * 5, [True, True, True, False, False]]),
+                             (1, [[False, False, True, True, True]] * 2)):
+        args = _recur_attn_inputs(p=40, seed=seed)
+        valid = jnp.asarray(np.array(valid_rows))
+        g = jnp.asarray(np.random.RandomState(seed + 7).randn(2, 40, 12),
+                        jnp.float32)
+
+        _, vjp = jax.vjp(lambda *a: recur_attn_scan(*a, valid), *args)
+        want = vjp(g)
+        got = recur_attn_pallas_bwd(*args, valid, g, tile_p=16,
+                                    interpret=True)
+        for a, b, name in zip(got, want,
+                              ("d_h0", "d_lang", "d_wp", "d_bp", "d_wm",
+                               "d_bm")):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                       err_msg=name)
+
+
 def test_recur_attn_custom_vjp_matches_scan_grads(monkeypatch):
     """Gradients of the RecurAttn op (fused interpret forward, scan-derived
     backward) equal differentiating the scan directly -- for every input
