@@ -4,8 +4,9 @@ The headline number times the FULL interactive pipeline on the reference's
 own fixture (sketch 9996): ``ColorizationSession.colorize`` end-to-end --
 RMI referring segmentation at 768^2, device-side instance scoring
 (``get_pred_instance_mask`` semantics), per-instance crop/resize, the FG
-MRU-GAN forward for EVERY matched instance, un-resize, inner-mask paste,
-drawing overlay, PNG write, and the edit-record state machine.  That is the
+MRU-GAN forward for EVERY matched instance, un-resize, inner-mask paste and
+drawing overlay (on device by default: ``device_compositing``, bit-exact
+PIL-bilinear), PNG write, and the edit-record state machine.  That is the
 metric BASELINE.md defines (>=50 passes/sec/chip on TPU v5e); the reference
 call stack it covers is SURVEY.md §3.1 / ``fg_color_utils.py:188-363``.
 

@@ -175,6 +175,12 @@ class PipelineConfig:
                                          # backbone every instruction
     async_png_writes: bool = False       # write-behind PNG encoding
     png_compress_level: int = 1          # zlib level of pipeline/io.write_png
+    device_compositing: bool = True      # FG reverse-resize/paste/overlay as
+                                         # one XLA dispatch per pass (bit-
+                                         # exact PIL bilinear; byte-equal to
+                                         # the host chain -- see
+                                         # pipeline/device_compositing.py);
+                                         # False keeps the NumPy/PIL chain
     # serving memory bounds (the reference tears its graphs down per command,
     # fg_matching_utils.py:29-38, so it never accumulates state; the cached
     # redesign must not leak either).  0 = unbounded.

@@ -111,20 +111,34 @@ def thicken_drawings(image: np.ndarray) -> np.ndarray:
     return np.repeat(dilated[:, :, None], 3, axis=2)
 
 
-def reverse_resize_image(cartoon_instance: np.ndarray, box_h: int, box_w: int,
-                         h_w_ratio: float = 1, margin_size: int = 10) -> np.ndarray:
-    """Undo the pad+resize: cut padding, scale back to (box + margins), cut
-    the margin.  The deprecated ``scipy.misc.imresize`` is PIL bilinear."""
-    ori_size = cartoon_instance.shape[0]
+def reverse_resize_geometry(ori_size: int, box_h: int, box_w: int,
+                            h_w_ratio: float = 1, margin_size: int = 10):
+    """(pad, cut_axis, box_h_marg, box_w_marg) of the undo-pad+resize --
+    shared by the host path below and the device compositor so both compute
+    the identical crop (incl. Python banker's rounding of ``pad``)."""
     box_h_marg = box_h + margin_size * 2
     box_w_marg = box_w + margin_size * 2
     if box_h_marg * h_w_ratio > box_w_marg:
         pad = int(round(ori_size * (box_h_marg * h_w_ratio - box_w_marg)
                         / (box_h_marg * h_w_ratio) / 2.0))
-        cut = cartoon_instance[:, pad: ori_size - pad]
+        axis = 1
     else:
         pad = int(round(ori_size * (box_w_marg - box_h_marg * h_w_ratio)
                         / box_w_marg / 2.0))
+        axis = 0
+    return pad, axis, box_h_marg, box_w_marg
+
+
+def reverse_resize_image(cartoon_instance: np.ndarray, box_h: int, box_w: int,
+                         h_w_ratio: float = 1, margin_size: int = 10) -> np.ndarray:
+    """Undo the pad+resize: cut padding, scale back to (box + margins), cut
+    the margin.  The deprecated ``scipy.misc.imresize`` is PIL bilinear."""
+    ori_size = cartoon_instance.shape[0]
+    pad, axis, box_h_marg, box_w_marg = reverse_resize_geometry(
+        ori_size, box_h, box_w, h_w_ratio, margin_size)
+    if axis == 1:
+        cut = cartoon_instance[:, pad: ori_size - pad]
+    else:
         cut = cartoon_instance[pad: ori_size - pad, :]
     resized = Image.fromarray(cut.astype(np.uint8)).resize(
         (box_w_marg, box_h_marg), resample=Image.BILINEAR)

@@ -250,10 +250,19 @@ class FGColorizeEngine:
     def colorize_rows(self, instance_sketches: np.ndarray,
                       class_ids25: Sequence[int],
                       tokens_rows: np.ndarray) -> np.ndarray:
+        out, k = self.colorize_rows_dev(instance_sketches, class_ids25,
+                                        tokens_rows)
+        return np.asarray(out[:k])
+
+    def colorize_rows_dev(self, instance_sketches: np.ndarray,
+                          class_ids25: Sequence[int],
+                          tokens_rows: np.ndarray):
         """Like ``colorize_batch`` but with per-row token vectors [K, T]
         (stream serving batches instances of *different* instructions into
-        one call).  The batch is padded up to the next power-of-two bucket so
-        the jit cache stays bounded; per-sample BN makes pad rows inert."""
+        one call), returning the DEVICE uint8 [bucket, S, S, 3] plus the
+        real row count (device compositing consumes rows in place -- no
+        host fetch).  The batch is padded up to the next power-of-two bucket
+        so the jit cache stays bounded; per-sample BN makes pad rows inert."""
         if not hasattr(self, "_forward_batched"):
             self._build_batched()
         k = len(class_ids25)
@@ -282,7 +291,7 @@ class FGColorizeEngine:
         out = self._forward_batched(
             self.g_params, jnp.asarray(sketches.astype(np.float32)),
             jnp.asarray(tok.astype(np.int32)), jnp.asarray(ids), noise)
-        return np.asarray(out[:k])
+        return out, k
 
 
 class BGColorizeEngine:

@@ -108,6 +108,18 @@ class _ImageState:
         self.visual_dev = None                  # lazily-cached backbone feats
         self.instance_inputs: "OrderedDict[int, np.ndarray]" = OrderedDict()
         self.last_result: Optional[Tuple[str, np.ndarray]] = None  # (name, img)
+        # device-compositing state (pipeline/device_compositing.py): the
+        # canvas mirror of last_result and the per-image compiled programs
+        self.last_result_dev = None             # (name, device uint8 canvas)
+        self.compositor = None                  # lazily-built DeviceCompositor
+
+    def get_compositor(self):
+        if self.compositor is None:
+            from .device_compositing import DeviceCompositor
+            self.compositor = DeviceCompositor(
+                self.inner_mask, self.moved, self.drawings_region,
+                self.pred_boxes, self.pred_class_ids)
+        return self.compositor
 
     def prepared_instance(self, inst_idx: int, instance_size: int) -> np.ndarray:
         """[-1,1] float32 GAN input for one instance (crop -> white-bg mask
@@ -213,6 +225,16 @@ class ColorizationSession:
         return np.array(Image.open(
             os.path.join(results_dir, last_name)).convert("RGB"),
             dtype=np.uint8)
+
+    def _canvas_dev(self, state: _ImageState, new_result: np.ndarray,
+                    last_name: str):
+        """Device-resident base canvas: reuse the cached device copy when it
+        mirrors ``last_name`` (the common sequential case -- zero upload),
+        else upload the host base."""
+        if state.last_result_dev is not None \
+                and state.last_result_dev[0] == last_name:
+            return state.last_result_dev[1]
+        return jnp.asarray(new_result)
 
     def flush(self) -> None:
         """Block until all write-behind PNGs are on disk."""
@@ -320,11 +342,17 @@ class ColorizationSession:
                 row_tokens.append(toks)
             plans.append((text, matched[p]))
 
-        generated_u8 = None
+        device_comp = self.cfg.pipeline.device_compositing
+        generated_u8 = gen_dev = None
         if rows:
-            generated_u8 = self.fg.colorize_rows(
-                np.stack(rows), row_class_ids,
-                np.asarray(row_tokens, np.int32))
+            if device_comp:
+                gen_dev, _ = self.fg.colorize_rows_dev(
+                    np.stack(rows), row_class_ids,
+                    np.asarray(row_tokens, np.int32))
+            else:
+                generated_u8 = self.fg.colorize_rows(
+                    np.stack(rows), row_class_ids,
+                    np.asarray(row_tokens, np.int32))
 
         out_paths: List[str] = []
         results_dir = self._results_dir(image_id)
@@ -333,16 +361,24 @@ class ColorizationSession:
             new_name, last_name, last_bg_text, summary = fetch_records(
                 image_id, self.cfg.pipeline.results_base_dir)
             new_result = self._load_base(state, results_dir, last_name)
-            for inst_idx in inst_indices:
-                class_id46 = int(state.pred_class_ids[inst_idx])
-                bbox = state.pred_boxes[inst_idx]
-                color_instance = comp.instance_result_postprocessing_u8(
-                    generated_u8[row], bbox, class_id46)
-                comp.paste_instance(new_result, color_instance,
-                                    state.inner_mask, inst_idx, bbox)
-                row += 1
-            new_result[state.drawings_region] = \
-                state.moved[state.drawings_region]
+            if inst_indices and device_comp:
+                canvas = self._canvas_dev(state, new_result, last_name)
+                canvas = state.get_compositor().composite(
+                    canvas, gen_dev, inst_indices, row_offset=row)
+                new_result = np.asarray(canvas)
+                state.last_result_dev = (new_name, canvas)
+                row += len(inst_indices)
+            else:
+                for inst_idx in inst_indices:
+                    class_id46 = int(state.pred_class_ids[inst_idx])
+                    bbox = state.pred_boxes[inst_idx]
+                    color_instance = comp.instance_result_postprocessing_u8(
+                        generated_u8[row], bbox, class_id46)
+                    comp.paste_instance(new_result, color_instance,
+                                        state.inner_mask, inst_idx, bbox)
+                    row += 1
+                new_result[state.drawings_region] = \
+                    state.moved[state.drawings_region]
             out_path = os.path.join(results_dir, new_name)
             self._save_result(out_path, new_result)
             state.last_result = (new_name, new_result)
@@ -360,6 +396,7 @@ class ColorizationSession:
         key = str(image_id)
         if key in self._images:
             self._images[key].last_result = None   # force a disk re-read
+            self._images[key].last_result_dev = None
 
     # ------------------------------------------------------------- matching
     def match_instances(self, image_id, input_text: str) -> List[int]:
@@ -418,18 +455,33 @@ class ColorizationSession:
             batch.append(state.prepared_instance(inst_idx, instance_size))
             class_ids25.append(comp.SKE_ID_TO_CAT_ID[class_id46])
 
-        if batch:
-            generated_u8 = self.fg.colorize_batch(
-                np.stack(batch), class_ids25, inst_color_text)
-            for k, inst_idx in enumerate(inst_indices):
-                class_id46 = int(state.pred_class_ids[inst_idx])
-                bbox = state.pred_boxes[inst_idx]
-                color_instance = comp.instance_result_postprocessing_u8(
-                    generated_u8[k], bbox, class_id46)
-                comp.paste_instance(new_result, color_instance,
-                                    state.inner_mask, inst_idx, bbox)
-
-        new_result[state.drawings_region] = state.moved[state.drawings_region]
+        if batch and self.cfg.pipeline.device_compositing:
+            # one GAN dispatch + one compositing dispatch; the canvas stays
+            # device-resident between passes (byte-equal to the host chain
+            # below -- tested in tests/test_pipeline_serving.py)
+            toks = self.fg.encode(inst_color_text)
+            tokens_rows = np.broadcast_to(
+                np.asarray(toks, np.int32)[None], (len(batch), len(toks)))
+            gen_dev, _ = self.fg.colorize_rows_dev(
+                np.stack(batch), class_ids25, tokens_rows)
+            canvas = self._canvas_dev(state, new_result, last_name)
+            canvas = state.get_compositor().composite(
+                canvas, gen_dev, list(inst_indices))
+            new_result = np.asarray(canvas)
+            state.last_result_dev = (new_name, canvas)
+        else:
+            if batch:
+                generated_u8 = self.fg.colorize_batch(
+                    np.stack(batch), class_ids25, inst_color_text)
+                for k, inst_idx in enumerate(inst_indices):
+                    class_id46 = int(state.pred_class_ids[inst_idx])
+                    bbox = state.pred_boxes[inst_idx]
+                    color_instance = comp.instance_result_postprocessing_u8(
+                        generated_u8[k], bbox, class_id46)
+                    comp.paste_instance(new_result, color_instance,
+                                        state.inner_mask, inst_idx, bbox)
+            new_result[state.drawings_region] = \
+                state.moved[state.drawings_region]
 
         out_path = os.path.join(results_dir, new_name)
         self._save_result(out_path, new_result)

@@ -142,6 +142,48 @@ def test_stream_scoring_and_streaming_match_sequential(serving_env):
     assert rec_a == rec_b
 
 
+def test_device_compositing_matches_host_chain(serving_env):
+    """The device compositor (bit-exact PIL resize + mask paste + overlay in
+    one XLA dispatch, ``pipeline/device_compositing.py``) must be
+    byte-identical to the NumPy/PIL chain across sequential passes, a BG
+    pass invalidating the device canvas, a withdraw, and a stream run."""
+    tmp, cfg, base = serving_env
+    texts = ["the bus is yellow", "the grass is green",
+             "the sky is blue and the ground is green", "the bus is red"]
+
+    dev = base.clone(seed=3, results_base_dir=str(tmp / "comp_dev"),
+                     device_compositing=True)
+    host = base.clone(seed=3, results_base_dir=str(tmp / "comp_host"),
+                      device_compositing=False)
+    for t in texts:
+        a = np.array(Image.open(dev.colorize(7, t)).convert("RGB"))
+        b = np.array(Image.open(host.colorize(7, t)).convert("RGB"))
+        np.testing.assert_array_equal(a, b, err_msg=t)
+
+    # withdraw forces the disk/canvas re-read path on both sessions
+    dev.withdraw(7)
+    host.withdraw(7)
+    a = np.array(Image.open(dev.colorize(7, "the bus is blue")).convert("RGB"))
+    b = np.array(Image.open(host.colorize(7, "the bus is blue")).convert("RGB"))
+    np.testing.assert_array_equal(a, b)
+
+    # stream run (row offsets > 0 exercise the per-offset programs)
+    dev_s = base.clone(seed=5, results_base_dir=str(tmp / "comp_dev_s"),
+                       device_compositing=True)
+    host_s = base.clone(seed=5, results_base_dir=str(tmp / "comp_host_s"),
+                        device_compositing=False)
+    for a_p, b_p in zip(dev_s.colorize_stream(7, texts),
+                        host_s.colorize_stream(7, texts)):
+        np.testing.assert_array_equal(
+            np.array(Image.open(a_p).convert("RGB")),
+            np.array(Image.open(b_p).convert("RGB")), err_msg=a_p)
+    rec_a = json.load(open(tmp / "comp_dev_s" / "update_records" /
+                           "7_records.json"))
+    rec_b = json.load(open(tmp / "comp_host_s" / "update_records" /
+                           "7_records.json"))
+    assert rec_a == rec_b
+
+
 def test_stream_failure_matches_sequential(serving_env):
     """A pass failing mid-run (single-line road, ``fg_color_utils.py:306-308``)
     must leave the stream session in exactly the sequential failure state:
