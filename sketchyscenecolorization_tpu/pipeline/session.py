@@ -226,15 +226,15 @@ class ColorizationSession:
             os.path.join(results_dir, last_name)).convert("RGB"),
             dtype=np.uint8)
 
-    def _canvas_dev(self, state: _ImageState, new_result: np.ndarray,
+    def _canvas_dev(self, state: _ImageState, results_dir: str,
                     last_name: str):
         """Device-resident base canvas: reuse the cached device copy when it
-        mirrors ``last_name`` (the common sequential case -- zero upload),
-        else upload the host base."""
+        mirrors ``last_name`` (the common sequential case -- zero host copy,
+        zero upload), else load + upload the host base."""
         if state.last_result_dev is not None \
                 and state.last_result_dev[0] == last_name:
             return state.last_result_dev[1]
-        return jnp.asarray(new_result)
+        return jnp.asarray(self._load_base(state, results_dir, last_name))
 
     def flush(self) -> None:
         """Block until all write-behind PNGs are on disk."""
@@ -360,15 +360,15 @@ class ColorizationSession:
         for text, inst_indices in plans[:n_ok]:
             new_name, last_name, last_bg_text, summary = fetch_records(
                 image_id, self.cfg.pipeline.results_base_dir)
-            new_result = self._load_base(state, results_dir, last_name)
             if inst_indices and device_comp:
-                canvas = self._canvas_dev(state, new_result, last_name)
+                canvas = self._canvas_dev(state, results_dir, last_name)
                 canvas = state.get_compositor().composite(
                     canvas, gen_dev, inst_indices, row_offset=row)
                 new_result = np.asarray(canvas)
                 state.last_result_dev = (new_name, canvas)
                 row += len(inst_indices)
             else:
+                new_result = self._load_base(state, results_dir, last_name)
                 for inst_idx in inst_indices:
                     class_id46 = int(state.pred_class_ids[inst_idx])
                     bbox = state.pred_boxes[inst_idx]
@@ -440,7 +440,6 @@ class ColorizationSession:
         state = self._state(image_id)
         instance_size = self.cfg.pipeline.instance_size
         results_dir = self._results_dir(image_id)
-        new_result = self._load_base(state, results_dir, last_name)
 
         inst_color_text = segment_user_input_text(input_text)
 
@@ -464,12 +463,13 @@ class ColorizationSession:
                 np.asarray(toks, np.int32)[None], (len(batch), len(toks)))
             gen_dev, _ = self.fg.colorize_rows_dev(
                 np.stack(batch), class_ids25, tokens_rows)
-            canvas = self._canvas_dev(state, new_result, last_name)
+            canvas = self._canvas_dev(state, results_dir, last_name)
             canvas = state.get_compositor().composite(
                 canvas, gen_dev, list(inst_indices))
             new_result = np.asarray(canvas)
             state.last_result_dev = (new_name, canvas)
         else:
+            new_result = self._load_base(state, results_dir, last_name)
             if batch:
                 generated_u8 = self.fg.colorize_batch(
                     np.stack(batch), class_ids25, inst_color_text)
