@@ -95,7 +95,7 @@ class AsyncPngWriter:
                 if job is None:
                     return
                 path, arr, level = job
-                write_png(path, arr, level)
+                write_png(path, np.asarray(arr), level)
             except BaseException as e:   # noqa: BLE001 - surfaced on flush
                 self._error = e
             finally:
@@ -106,10 +106,16 @@ class AsyncPngWriter:
             err, self._error = self._error, None
             raise err
 
-    def save(self, path: str, arr: np.ndarray, level: int = 1) -> None:
+    def save(self, path: str, arr, level: int = 1) -> None:
+        """``arr``: uint8 [H, W, 3] ndarray (copied -- callers may keep
+        mutating), or a DEVICE array (kept by handle: device buffers are
+        immutable, and the worker's ``np.asarray`` moves the device->host
+        fetch off the critical path too)."""
         self._check()
         q = self._queues[hash(path) % len(self._queues)]
-        q.put((path, np.array(arr, copy=True), level))
+        if isinstance(arr, np.ndarray):
+            arr = np.array(arr, copy=True)
+        q.put((path, arr, level))
 
     def flush(self) -> None:
         for q in self._queues:

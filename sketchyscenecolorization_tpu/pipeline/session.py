@@ -72,6 +72,23 @@ def _fixture_signature(paths: Dict[str, str]) -> Tuple[int, ...]:
                  for k in ("sketch", "seg_data", "inner_mask"))
 
 
+class _LazyFetch:
+    """Device uint8 image fetched to host on first use.  Device buffers are
+    immutable, so the handle stays valid however many passes run before the
+    fetch -- this is what lets the PNG writer pull the finished canvas off
+    the critical path."""
+    __slots__ = ("dev", "_np")
+
+    def __init__(self, dev):
+        self.dev = dev
+        self._np = None
+
+    def get(self) -> np.ndarray:
+        if self._np is None:
+            self._np = np.asarray(self.dev)
+        return self._np
+
+
 class _ImageState:
     """Everything about one image that does not depend on the instruction."""
 
@@ -206,9 +223,17 @@ class ColorizationSession:
             self._images.popitem(last=False)   # LRU-evict (device tensors too)
         return state
 
-    def _save_result(self, path: str, image: np.ndarray) -> None:
+    def _save_result(self, path: str, image) -> None:
+        """image: uint8 ndarray or ``_LazyFetch`` (device canvas -- with the
+        write-behind writer, the device->host fetch AND the encode both run
+        in the worker, overlapping the next pass's device work)."""
         level = self.cfg.pipeline.png_compress_level
-        if self._writer is not None:
+        if isinstance(image, _LazyFetch):
+            if self._writer is not None:
+                self._writer.save(path, image.dev, level)
+            else:
+                write_png(path, image.get(), level)
+        elif self._writer is not None:
             self._writer.save(path, image, level)
         else:
             write_png(path, image, level)
@@ -219,7 +244,10 @@ class ColorizationSession:
         if last_name == "":
             return state.sketch.copy()
         if state.last_result is not None and state.last_result[0] == last_name:
-            return state.last_result[1].copy()
+            img = state.last_result[1]
+            if isinstance(img, _LazyFetch):
+                img = img.get()
+            return img.copy()
         if self._writer is not None:
             self._writer.flush()
         return np.array(Image.open(
@@ -364,7 +392,7 @@ class ColorizationSession:
                 canvas = self._canvas_dev(state, results_dir, last_name)
                 canvas = state.get_compositor().composite(
                     canvas, gen_dev, inst_indices, row_offset=row)
-                new_result = np.asarray(canvas)
+                new_result = _LazyFetch(canvas)
                 state.last_result_dev = (new_name, canvas)
                 row += len(inst_indices)
             else:
@@ -466,7 +494,7 @@ class ColorizationSession:
             canvas = self._canvas_dev(state, results_dir, last_name)
             canvas = state.get_compositor().composite(
                 canvas, gen_dev, list(inst_indices))
-            new_result = np.asarray(canvas)
+            new_result = _LazyFetch(canvas)
             state.last_result_dev = (new_name, canvas)
         else:
             new_result = self._load_base(state, results_dir, last_name)

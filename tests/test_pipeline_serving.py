@@ -155,9 +155,11 @@ def test_device_compositing_matches_host_chain(serving_env):
                      device_compositing=True)
     host = base.clone(seed=3, results_base_dir=str(tmp / "comp_host"),
                       device_compositing=False)
+    host_imgs = []
     for t in texts:
         a = np.array(Image.open(dev.colorize(7, t)).convert("RGB"))
         b = np.array(Image.open(host.colorize(7, t)).convert("RGB"))
+        host_imgs.append(b)
         np.testing.assert_array_equal(a, b, err_msg=t)
 
     # withdraw forces the disk/canvas re-read path on both sessions
@@ -166,6 +168,17 @@ def test_device_compositing_matches_host_chain(serving_env):
     a = np.array(Image.open(dev.colorize(7, "the bus is blue")).convert("RGB"))
     b = np.array(Image.open(host.colorize(7, "the bus is blue")).convert("RGB"))
     np.testing.assert_array_equal(a, b)
+
+    # write-behind + device compositing: the WRITER fetches the immutable
+    # device canvases (fetch + encode off the critical path); bytes on disk
+    # after flush must still match the sync host chain
+    dev_a = base.clone(seed=3, results_base_dir=str(tmp / "comp_dev_async"),
+                       device_compositing=True, async_png_writes=True)
+    async_paths = [dev_a.colorize(7, t) for t in texts]
+    dev_a.flush()
+    for a_p, want in zip(async_paths, host_imgs):
+        np.testing.assert_array_equal(
+            np.array(Image.open(a_p).convert("RGB")), want, err_msg=a_p)
 
     # stream run (row offsets > 0 exercise the per-offset programs)
     dev_s = base.clone(seed=5, results_base_dir=str(tmp / "comp_dev_s"),
