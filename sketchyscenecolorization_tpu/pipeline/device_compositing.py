@@ -80,24 +80,61 @@ class DeviceCompositor:
                 self._programs.popitem(last=False)
         return fn(canvas_dev, gen_dev)
 
-    def _build(self, inst_indices: Tuple[int, ...], row_offset: int):
+    def composite_run(self, canvas_dev, gen_dev,
+                      passes: Sequence[Tuple[Tuple[int, ...], int]]):
+        """A whole FG instruction run in ONE dispatch: ``passes`` is an
+        ordered sequence of (inst_indices, row_offset); the canvas chains
+        through the passes exactly as M sequential ``composite`` calls
+        (each pass ends with the stroke overlay, as the host loop does).
+        Returns the M per-pass device canvases."""
+        key = (tuple((tuple(p), off) for p, off in passes), gen_dev.shape)
+        fn = self._programs.get(key)
+        if fn is not None:
+            self._programs.move_to_end(key)
+        else:
+            fn = self._build_run(tuple((tuple(p), off) for p, off in passes))
+            self._programs[key] = fn
+            while len(self._programs) > _MAX_PROGRAMS:
+                self._programs.popitem(last=False)
+        return fn(canvas_dev, gen_dev)
+
+    def _metas(self, inst_indices: Tuple[int, ...], row_offset: int):
         metas = []
         for k, i in enumerate(inst_indices):
             y1, x1, y2, x2 = self._boxes[i]
             margin = 0 if self._class46[i] == comp.ROAD_LABEL else 10
             metas.append((row_offset + k, i, y1, x1, y2, x2, margin))
+        return metas
+
+    def _apply_pass(self, canvas, gen, metas):
         inner, moved, drawings = self._inner, self._moved, self._drawings
+        for row, i, y1, x1, y2, x2, margin in metas:
+            color = _reverse_resize_dev(gen[row], y2 - y1, x2 - x1, margin)
+            region = jax.lax.slice(canvas, (y1, x1, 0), (y2, x2, 3))
+            m = jax.lax.slice(inner, (y1, x1), (y2, x2)) == i + 1
+            region = jnp.where(m[:, :, None], color, region)
+            canvas = jax.lax.dynamic_update_slice(canvas, region,
+                                                  (y1, x1, 0))
+        return jnp.where(drawings[:, :, None], moved, canvas)
+
+    def _build(self, inst_indices: Tuple[int, ...], row_offset: int):
+        metas = self._metas(inst_indices, row_offset)
 
         @jax.jit
         def run(canvas, gen):
-            for row, i, y1, x1, y2, x2, margin in metas:
-                color = _reverse_resize_dev(gen[row], y2 - y1, x2 - x1,
-                                            margin)
-                region = jax.lax.slice(canvas, (y1, x1, 0), (y2, x2, 3))
-                m = jax.lax.slice(inner, (y1, x1), (y2, x2)) == i + 1
-                region = jnp.where(m[:, :, None], color, region)
-                canvas = jax.lax.dynamic_update_slice(canvas, region,
-                                                      (y1, x1, 0))
-            return jnp.where(drawings[:, :, None], moved, canvas)
+            return self._apply_pass(canvas, gen, metas)
+
+        return run
+
+    def _build_run(self, passes: Tuple[Tuple[Tuple[int, ...], int], ...]):
+        metas_per_pass = [self._metas(p, off) for p, off in passes]
+
+        @jax.jit
+        def run(canvas, gen):
+            outs = []
+            for metas in metas_per_pass:
+                canvas = self._apply_pass(canvas, gen, metas)
+                outs.append(canvas)
+            return outs
 
         return run

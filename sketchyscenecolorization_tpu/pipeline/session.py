@@ -317,10 +317,12 @@ class ColorizationSession:
         calls (``tests/test_pipeline_serving.py`` asserts equality).
 
         Consecutive FG instructions share ONE matching forward (the
-        instruction axis batches bit-equally through ``rmi.apply_fused``) and
-        ONE instance-GAN forward (per-sample BN keeps rows independent) --
-        the TPU-idiomatic request-batching deployment; device round-trips
-        per FG run drop from 2M to 2."""
+        instruction axis batches bit-equally through ``rmi.apply_fused``),
+        ONE instance-GAN forward (per-sample BN keeps rows independent) and,
+        with device compositing on, ONE compositing dispatch chaining every
+        pass's canvas (``DeviceCompositor.composite_run``) -- the
+        TPU-idiomatic request-batching deployment; device round-trips per
+        FG run drop from 3M (sequential) to 3."""
         texts = list(input_texts)
         out: List[str] = []
         i = 0
@@ -371,30 +373,42 @@ class ColorizationSession:
             plans.append((text, matched[p]))
 
         device_comp = self.cfg.pipeline.device_compositing
-        generated_u8 = gen_dev = None
-        if rows:
-            if device_comp:
+        results_dir = self._results_dir(image_id)
+        generated_u8 = canvases = None
+        if device_comp and plans[:n_ok]:
+            # the ENTIRE run's compositing in one dispatch (3 device calls
+            # per FG run total: matching + generation + compositing); the
+            # canvas chains through the passes exactly as the host loop
+            gen_dev = None
+            if rows:
                 gen_dev, _ = self.fg.colorize_rows_dev(
                     np.stack(rows), row_class_ids,
                     np.asarray(row_tokens, np.int32))
-            else:
-                generated_u8 = self.fg.colorize_rows(
-                    np.stack(rows), row_class_ids,
-                    np.asarray(row_tokens, np.int32))
+            else:                       # all passes matched nothing: the
+                s = self.cfg.pipeline.instance_size   # program ignores gen
+                gen_dev = jnp.zeros((1, s, s, 3), jnp.uint8)
+            _, last0, _, _ = fetch_records(
+                image_id, self.cfg.pipeline.results_base_dir)
+            base = self._canvas_dev(state, results_dir, last0)
+            passes, off = [], 0
+            for _, inst in plans[:n_ok]:
+                passes.append((tuple(inst), off))
+                off += len(inst)
+            canvases = state.get_compositor().composite_run(base, gen_dev,
+                                                            passes)
+        elif rows:
+            generated_u8 = self.fg.colorize_rows(
+                np.stack(rows), row_class_ids,
+                np.asarray(row_tokens, np.int32))
 
         out_paths: List[str] = []
-        results_dir = self._results_dir(image_id)
         row = 0
-        for text, inst_indices in plans[:n_ok]:
+        for m, (text, inst_indices) in enumerate(plans[:n_ok]):
             new_name, last_name, last_bg_text, summary = fetch_records(
                 image_id, self.cfg.pipeline.results_base_dir)
-            if inst_indices and device_comp:
-                canvas = self._canvas_dev(state, results_dir, last_name)
-                canvas = state.get_compositor().composite(
-                    canvas, gen_dev, inst_indices, row_offset=row)
-                new_result = _LazyFetch(canvas)
-                state.last_result_dev = (new_name, canvas)
-                row += len(inst_indices)
+            if canvases is not None:
+                new_result = _LazyFetch(canvases[m])
+                state.last_result_dev = (new_name, canvases[m])
             else:
                 new_result = self._load_base(state, results_dir, last_name)
                 for inst_idx in inst_indices:
