@@ -151,13 +151,13 @@ class MatchingEngine:
         (cached ``extract_visual`` output) to skip the backbone."""
         if not hasattr(self, "_score_cold"):
             self._build_score()
+        # words/lens go straight into the jitted call (the upload rides the
+        # single dispatch; an eager jnp.asarray would cost two extra ones)
         if visual_dev is not None:
-            inter = self._score_warm(self.params, visual_dev,
-                                     jnp.asarray(words), jnp.asarray(lens),
+            inter = self._score_warm(self.params, visual_dev, words, lens,
                                      inst_masks_dev, bin_drawing_dev)
         else:
-            inter = self._score_cold(self.params, image_dev,
-                                     jnp.asarray(words), jnp.asarray(lens),
+            inter = self._score_cold(self.params, image_dev, words, lens,
                                      inst_masks_dev, bin_drawing_dev)
         return np.asarray(inter).astype(np.float64) \
             / np.maximum(np.asarray(areas, np.float64), 1.0)[None, :]
@@ -254,7 +254,42 @@ class FGColorizeEngine:
                                         tokens_rows)
         return np.asarray(out[:k])
 
-    def colorize_rows_dev(self, instance_sketches: np.ndarray,
+    def _build_prepare(self):
+        """One jitted dispatch for the whole per-pass input build: the FG
+        noise chain (bit-identical to k sequential ``jax.random.split`` +
+        ``normal(nk, (1, nd))`` draws -- asserted in
+        ``tests/test_pipeline_serving.py``), the row stack, and the
+        pad-to-bucket.  The eager formulation cost 2k tiny device dispatches
+        per pass (split + normal per row) -- 3-150 ms each over the axon
+        tunnel -- plus an 8 MB host->device row upload; rows arrive here as
+        a tuple of per-row leaves, so device-cached rows upload nothing."""
+        nd = self.cfg.noise_dim
+
+        def prepare(rng, rows, tokens, labels, *, bucket):
+            k = len(rows)
+
+            def body(c, _):
+                ks = jax.random.split(c)
+                return ks[0], ks[1]
+            new_rng, nks = jax.lax.scan(body, rng, None, length=k)
+            noise = jax.vmap(
+                lambda kk: jax.random.normal(kk, (nd,), jnp.float32))(nks)
+            x = jnp.stack([r.astype(jnp.float32) for r in rows])
+            tok = tokens.astype(jnp.int32)
+            ids = labels.astype(jnp.int32)
+            pad = bucket - k
+            if pad:
+                noise = jnp.concatenate(
+                    [noise, jnp.zeros((pad, nd), jnp.float32)])
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad, *x.shape[1:]), jnp.float32)])
+                tok = jnp.concatenate(
+                    [tok, jnp.zeros((pad, tok.shape[1]), jnp.int32)])
+                ids = jnp.concatenate([ids, jnp.zeros((pad,), jnp.int32)])
+            return x, tok, ids, noise, new_rng
+        self._prepare = jax.jit(prepare, static_argnames=("bucket",))
+
+    def colorize_rows_dev(self, instance_sketches,
                           class_ids25: Sequence[int],
                           tokens_rows: np.ndarray):
         """Like ``colorize_batch`` but with per-row token vectors [K, T]
@@ -262,35 +297,26 @@ class FGColorizeEngine:
         one call), returning the DEVICE uint8 [bucket, S, S, 3] plus the
         real row count (device compositing consumes rows in place -- no
         host fetch).  The batch is padded up to the next power-of-two bucket
-        so the jit cache stays bounded; per-sample BN makes pad rows inert."""
+        so the jit cache stays bounded; per-sample BN makes pad rows inert.
+
+        ``instance_sketches`` is a stacked [K, S, S, 3] array OR a sequence
+        of K per-row arrays; per-row DEVICE arrays (the session's instance
+        row cache) skip the host->device upload entirely."""
         if not hasattr(self, "_forward_batched"):
             self._build_batched()
+        if not hasattr(self, "_prepare"):
+            self._build_prepare()
         k = len(class_ids25)
-        noises = []
-        for _ in range(k):
-            self._rng, nk = jax.random.split(self._rng)
-            noises.append(jax.random.normal(nk, (1, self.cfg.noise_dim),
-                                            jnp.float32))
+        rows = (tuple(instance_sketches[i] for i in range(k))
+                if isinstance(instance_sketches, np.ndarray)
+                else tuple(instance_sketches))
         bucket = 1
         while bucket < k:
             bucket *= 2
-        pad = bucket - k
-        if pad:
-            noises.append(jnp.zeros((pad, self.cfg.noise_dim), jnp.float32))
-        noise = jnp.concatenate(noises, axis=0)
-        sketches = np.concatenate(
-            [instance_sketches,
-             np.zeros((pad, *instance_sketches.shape[1:]), np.float32)]
-        ) if pad else instance_sketches
-        tok = np.concatenate(
-            [tokens_rows, np.zeros((pad, self.cfg.max_len), np.int32)]
-        ) if pad else tokens_rows
-        ids = np.concatenate(
-            [np.asarray(class_ids25, np.int32), np.zeros((pad,), np.int32)]
-        ) if pad else np.asarray(class_ids25, np.int32)
-        out = self._forward_batched(
-            self.g_params, jnp.asarray(sketches.astype(np.float32)),
-            jnp.asarray(tok.astype(np.int32)), jnp.asarray(ids), noise)
+        x, tok, ids, noise, self._rng = self._prepare(
+            self._rng, rows, np.asarray(tokens_rows, np.int32),
+            np.asarray(class_ids25, np.int32), bucket=bucket)
+        out = self._forward_batched(self.g_params, x, tok, ids, noise)
         return out, k
 
 
@@ -331,7 +357,6 @@ class BGColorizeEngine:
         ``want_region=False`` skips the label fetch (the pipeline discards
         them -- ``bg_utils.py`` never reads the region output at serve time)."""
         tokens = colorization_encode(text, self.vocab, self.cfg.max_len)
-        out, region = self._forward(self.g_params,
-                                    jnp.asarray(fg_image_uint8[None]),
-                                    jnp.asarray(np.asarray(tokens, np.int32)[None]))
+        out, region = self._forward(self.g_params, fg_image_uint8[None],
+                                    np.asarray(tokens, np.int32)[None])
         return np.array(out)[0], (np.array(region)[0] if want_region else None)

@@ -47,7 +47,7 @@ from __future__ import annotations
 import atexit
 import os
 from collections import OrderedDict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
@@ -124,6 +124,7 @@ class _ImageState:
             .astype(np.float64)
         self.visual_dev = None                  # lazily-cached backbone feats
         self.instance_inputs: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self.instance_rows_dev: "OrderedDict[int, Any]" = OrderedDict()
         self.last_result: Optional[Tuple[str, np.ndarray]] = None  # (name, img)
         # device-compositing state (pipeline/device_compositing.py): the
         # canvas mirror of last_result and the per-image compiled programs
@@ -171,6 +172,19 @@ class _ImageState:
         while 0 < self.max_instance_inputs < len(self.instance_inputs):
             self.instance_inputs.popitem(last=False)
         return x
+
+    def prepared_instance_dev(self, inst_idx: int, instance_size: int):
+        """Device-resident mirror of ``prepared_instance`` (same values,
+        same road/grass error semantics).  Repeat passes over an instance
+        feed the GAN straight from HBM -- no per-pass 442 KB row upload."""
+        if inst_idx in self.instance_rows_dev:
+            self.instance_rows_dev.move_to_end(inst_idx)
+            return self.instance_rows_dev[inst_idx]
+        dev = jnp.asarray(self.prepared_instance(inst_idx, instance_size))
+        self.instance_rows_dev[inst_idx] = dev
+        while 0 < self.max_instance_inputs < len(self.instance_rows_dev):
+            self.instance_rows_dev.popitem(last=False)
+        return dev
 
 
 class ColorizationSession:
@@ -345,6 +359,7 @@ class ColorizationSession:
 
         # validate + prepare per pass in order; the first failing pass stops
         # the run (earlier passes still commit, like sequential execution)
+        device_comp = self.cfg.pipeline.device_compositing
         error: Optional[BaseException] = None
         n_ok = len(run_texts)
         rows, row_class_ids, row_tokens, plans = [], [], [], []
@@ -360,6 +375,8 @@ class ColorizationSession:
                             "Wrong matching instance: "
                             f"{state.categories46[class_id46]}")
                     pass_rows.append(
+                        state.prepared_instance_dev(inst_idx, instance_size)
+                        if device_comp else
                         state.prepared_instance(inst_idx, instance_size))
             except ValueError as e:
                 error = e
@@ -372,7 +389,6 @@ class ColorizationSession:
                 row_tokens.append(toks)
             plans.append((text, matched[p]))
 
-        device_comp = self.cfg.pipeline.device_compositing
         results_dir = self._results_dir(image_id)
         generated_u8 = canvases = None
         if device_comp and plans[:n_ok]:
@@ -382,7 +398,7 @@ class ColorizationSession:
             gen_dev = None
             if rows:
                 gen_dev, _ = self.fg.colorize_rows_dev(
-                    np.stack(rows), row_class_ids,
+                    rows, row_class_ids,
                     np.asarray(row_tokens, np.int32))
             else:                       # all passes matched nothing: the
                 s = self.cfg.pipeline.instance_size   # program ignores gen
@@ -487,16 +503,19 @@ class ColorizationSession:
 
         # validity + prepared inputs (cached per instance; raises exactly as
         # the per-instance loop would -- nothing is written on error)
+        device_comp = self.cfg.pipeline.device_compositing
         batch, class_ids25 = [], []
         for inst_idx in inst_indices:
             class_id46 = int(state.pred_class_ids[inst_idx])
             if class_id46 not in comp.SKE_ID_TO_CAT_ID:
                 raise ValueError(
                     f"Wrong matching instance: {state.categories46[class_id46]}")
-            batch.append(state.prepared_instance(inst_idx, instance_size))
+            batch.append(state.prepared_instance_dev(inst_idx, instance_size)
+                         if device_comp else
+                         state.prepared_instance(inst_idx, instance_size))
             class_ids25.append(comp.SKE_ID_TO_CAT_ID[class_id46])
 
-        if batch and self.cfg.pipeline.device_compositing:
+        if batch and device_comp:
             # one GAN dispatch + one compositing dispatch; the canvas stays
             # device-resident between passes (byte-equal to the host chain
             # below -- tested in tests/test_pipeline_serving.py)
@@ -504,7 +523,7 @@ class ColorizationSession:
             tokens_rows = np.broadcast_to(
                 np.asarray(toks, np.int32)[None], (len(batch), len(toks)))
             gen_dev, _ = self.fg.colorize_rows_dev(
-                np.stack(batch), class_ids25, tokens_rows)
+                batch, class_ids25, tokens_rows)
             canvas = self._canvas_dev(state, results_dir, last_name)
             canvas = state.get_compositor().composite(
                 canvas, gen_dev, list(inst_indices))

@@ -89,6 +89,41 @@ def test_fg_colorize_batch_matches_sequential_loop():
         assert (diff > 0).mean() < 0.01
 
 
+def test_prepare_noise_matches_eager_split_chain():
+    """The jitted one-dispatch input build (``FGColorizeEngine._prepare``)
+    must reproduce the EXACT eager per-row chain it replaced: k sequential
+    ``rng, nk = jax.random.split(rng)`` + ``normal(nk, (1, nd))`` draws
+    (2k device dispatches -> 1), zero pad rows, and the same advanced rng."""
+    from sketchyscenecolorization_tpu.config import FGGanConfig
+    from sketchyscenecolorization_tpu.pipeline.engines import FGColorizeEngine
+    cfg = FGGanConfig(image_size=32, vocab_size=12, max_len=6,
+                      base_channels=8, num_classes=5, noise_dim=8)
+    eng = FGColorizeEngine.__new__(FGColorizeEngine)   # params not needed
+    eng.cfg = cfg
+    eng._build_prepare()
+    rng = jax.random.PRNGKey(11)
+    for k, bucket in [(1, 1), (3, 4), (5, 8)]:
+        r, want = rng, []
+        for _ in range(k):
+            r, nk = jax.random.split(r)
+            want.append(np.asarray(
+                jax.random.normal(nk, (1, cfg.noise_dim), jnp.float32)))
+        want = np.concatenate(want, axis=0)
+        rows = tuple(jnp.full((4, 4, 3), i, jnp.float32) for i in range(k))
+        x, tok, ids, noise, new_rng = eng._prepare(
+            rng, rows, np.ones((k, cfg.max_len), np.int32),
+            np.ones((k,), np.int32), bucket=bucket)
+        noise = np.asarray(noise)
+        assert noise.shape == (bucket, cfg.noise_dim)
+        np.testing.assert_array_equal(noise[:k], want)
+        assert not noise[k:].any() and not np.asarray(ids)[k:].any()
+        np.testing.assert_array_equal(np.asarray(x)[:k, 0, 0, 0],
+                                      np.arange(k, dtype=np.float32))
+        assert not np.asarray(x)[k:].any()
+        np.testing.assert_array_equal(np.asarray(new_rng), np.asarray(r))
+        rng = new_rng
+
+
 # --------------------------------------------------- shared compiled session
 
 @pytest.fixture(scope="module")
