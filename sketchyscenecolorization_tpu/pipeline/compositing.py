@@ -15,7 +15,8 @@ images between model invocations):
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+import threading
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import scipy.ndimage
@@ -245,12 +246,53 @@ def extract_foreground(image: np.ndarray, inner_mask: np.ndarray) -> np.ndarray:
     return fg
 
 
+_ROUNDTRIP_LUT: Optional[np.ndarray] = None
+_LUT_LOCK = threading.Lock()
+_LUT_MIN_PIXELS = 200_000      # below this the direct math is cheaper than
+                               # building/holding the 50 MB table
+
+
+def prewarm_roundtrip_lut() -> None:
+    """Kick the LUT build on a daemon thread (sessions call this at build
+    time when the gradient can run at LUT scale, so the first BG pass
+    doesn't pay the ~5 s build)."""
+    threading.Thread(target=_rgb_roundtrip_lut, daemon=True).start()
+
+
+def _rgb_roundtrip_lut() -> np.ndarray:
+    """uint8 RGB -> uint8 RGB table of the float64 HSV round-trip
+    ``(hsv2rgb(rgb2hsv(x/255)) * 255).astype(uint8)`` for every 24-bit
+    color.  The round-trip is NOT the identity (truncation changes ~20% of
+    channel values -- PARITY.md), so gradient rows that keep their original
+    S/V still need it; the table turns that per-pass float64 math into one
+    gather.  Built lazily once per process (~50 MB, a few seconds)."""
+    global _ROUNDTRIP_LUT
+    if _ROUNDTRIP_LUT is None:
+        with _LUT_LOCK:
+            if _ROUNDTRIP_LUT is not None:
+                return _ROUNDTRIP_LUT
+            lut = np.empty((1 << 24, 3), np.uint8)
+            chunk = 1 << 20
+            base = np.arange(chunk, dtype=np.uint32)
+            for start in range(0, 1 << 24, chunk):
+                c = start + base
+                rgb = np.stack([(c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF],
+                               axis=-1).astype(np.float64) / 255.0
+                lut[start:start + chunk] = \
+                    (hsv2rgb(rgb2hsv(rgb)) * 255.0).astype(np.uint8)
+            _ROUNDTRIP_LUT = lut
+    return _ROUNDTRIP_LUT
+
+
 def add_color_gradient(color_image: np.ndarray, inner_mask: np.ndarray,
                        search_height: int = 2, search_from: int = 5) -> np.ndarray:
     """HSV sky gradient (``bg_utils.py:96-166``): find the dominant sky color
     near the top, locate the sky bottom, then ramp S down to S/3 and V up to
     min(1, 1.5V) from 3/4 of the sky height to the top.  The reference's
-    per-row Python loops are vectorized."""
+    per-row Python loops are vectorized, and the float64 HSV math runs only
+    on the rows the ramp modifies -- all rows below ``start_height`` are the
+    bare round-trip, served from ``_rgb_roundtrip_lut`` at full size
+    (byte-equal by construction; asserted in ``tests/test_pipeline.py``)."""
     img_h, img_w = color_image.shape[:2]
     img_bg = np.full(color_image.shape, 255, dtype=np.uint8)
     img_bg[inner_mask == 0] = color_image[inner_mask == 0]
@@ -281,12 +323,13 @@ def add_color_gradient(color_image: np.ndarray, inner_mask: np.ndarray,
             break
     assert sky_bottom != -1
 
-    # 3. HSV ramp
+    # 3. HSV ramp -- real HSV math on rows [0, start_height] (their S/V are
+    # replaced), the identity round-trip for everything below
     start_height = int(sky_bottom / 4 * 3)
     sky_hsv = rgb2hsv((np.array(sky_color, np.float32) / 255.0)[None, None, :])[0][0]
-    hsv = rgb2hsv(img_bg / 255.0)
     end_s = sky_hsv[1] / 3.0
     end_v = min(1.0, sky_hsv[2] * 1.5)
+    hsv = rgb2hsv(img_bg[:start_height + 1] / 255.0)
     if start_height > 0:
         rows = np.arange(start_height, -1, -1)
         frac = (start_height - rows) / start_height
@@ -296,6 +339,16 @@ def add_color_gradient(color_image: np.ndarray, inner_mask: np.ndarray,
         hsv[0, :, 1] = sky_hsv[1]
         hsv[0, :, 2] = sky_hsv[2]
 
-    img_grad = (hsv2rgb(hsv) * 255.0).astype(np.uint8)
+    img_grad = np.empty_like(img_bg)
+    img_grad[:start_height + 1] = (hsv2rgb(hsv) * 255.0).astype(np.uint8)
+    rest = img_bg[start_height + 1:]
+    if rest.size // 3 >= _LUT_MIN_PIXELS:
+        codes = ((rest[..., 0].astype(np.int32) << 16)
+                 | (rest[..., 1].astype(np.int32) << 8)
+                 | rest[..., 2].astype(np.int32))
+        img_grad[start_height + 1:] = _rgb_roundtrip_lut()[codes]
+    else:
+        img_grad[start_height + 1:] = \
+            (hsv2rgb(rgb2hsv(rest / 255.0)) * 255.0).astype(np.uint8)
     img_grad[inner_mask != 0] = color_image[inner_mask != 0]
     return img_grad

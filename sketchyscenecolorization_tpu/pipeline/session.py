@@ -202,6 +202,11 @@ class ColorizationSession:
             # a process exit must never strand queued write-behind PNGs after
             # their records have committed (records point at missing files)
             atexit.register(self.close)
+        if (cfg.pipeline.color_gradient
+                and cfg.pipeline.image_size ** 2 // 2 >= comp._LUT_MIN_PIXELS):
+            # the sky gradient will run at LUT scale: build the 24-bit
+            # round-trip table off the critical path now
+            comp.prewarm_roundtrip_lut()
 
     # ---------------------------------------------------------------- paths
     def _paths(self, image_id) -> Dict[str, str]:

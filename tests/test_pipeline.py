@@ -106,6 +106,51 @@ def test_add_color_gradient_preserves_fg_and_brightens_top():
     assert out[0].mean() > img[12].mean() - 1e-6
 
 
+def test_add_color_gradient_split_and_lut_match_full_roundtrip(monkeypatch):
+    """The optimized gradient (HSV math on modified rows only + the 24-bit
+    round-trip LUT below them) must be byte-equal to the original
+    whole-image formulation: ramp S/V in a full-image ``rgb2hsv`` and
+    convert everything back.  Exercises BOTH tail paths (direct math and
+    LUT via a zeroed ``_LUT_MIN_PIXELS``)."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (64, 48, 3), np.uint8)
+    img[:20] = [90, 140, 230]                        # dominant sky band
+    inner = np.zeros((64, 48), np.int32)
+    inner[40:50, 10:30] = 1
+    img[inner != 0] = [255, 0, 0]
+
+    # original formulation, inlined as the oracle
+    img_bg = np.full(img.shape, 255, np.uint8)
+    img_bg[inner == 0] = img[inner == 0]
+    sky_color = [90, 140, 230]
+    sky_bottom = -1
+    target = np.array(sky_color, np.uint8)
+    for i in range(img.shape[0] // 2, -1, -1):
+        if (img_bg[i] == target).all(axis=1).any():
+            sky_bottom = i
+            break
+    start_height = int(sky_bottom / 4 * 3)
+    sky_hsv = comp.rgb2hsv(
+        (np.array(sky_color, np.float32) / 255.0)[None, None, :])[0][0]
+    hsv = comp.rgb2hsv(img_bg / 255.0)
+    rows = np.arange(start_height, -1, -1)
+    frac = (start_height - rows) / start_height
+    hsv[rows, :, 1] = (frac * (sky_hsv[1] / 3.0)
+                       + (1 - frac) * sky_hsv[1])[:, None]
+    hsv[rows, :, 2] = (frac * min(1.0, sky_hsv[2] * 1.5)
+                       + (1 - frac) * sky_hsv[2])[:, None]
+    want = (comp.hsv2rgb(hsv) * 255.0).astype(np.uint8)
+    want[inner != 0] = img[inner != 0]
+
+    got_direct = comp.add_color_gradient(img, inner, search_from=2)
+    np.testing.assert_array_equal(got_direct, want)
+
+    monkeypatch.setattr(comp, "_LUT_MIN_PIXELS", 0)     # force the LUT tail
+    monkeypatch.setattr(comp, "_ROUNDTRIP_LUT", None)   # fresh build
+    got_lut = comp.add_color_gradient(img, inner, search_from=2)
+    np.testing.assert_array_equal(got_lut, want)
+
+
 # ------------------------------------------------------------ fixtures
 
 CAT46 = ["bg_cat%d" % i for i in range(46)]
