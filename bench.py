@@ -575,6 +575,11 @@ def main():
         import jax as _jax
         import jax.numpy as _jnp
         jax, jnp = _jax, _jnp
+        # persistent compile cache: a re-run (or a probe-retry restart)
+        # skips the multi-minute warmup compiles
+        from sketchyscenecolorization_tpu.utils.compile_cache import (
+            enable_persistent_compilation_cache)
+        enable_persistent_compilation_cache()
         _run_sections()
     except Exception as e:                                 # noqa: BLE001
         error = f"{type(e).__name__}: {e}"

@@ -35,6 +35,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--bg_vocab_path", type=str, default="data/bg_vocab.txt")
     p.add_argument("--no_color_gradient", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_compile_cache", action="store_true",
+                   help="skip the persistent XLA compilation cache (by "
+                        "default repeat invocations reuse compiled "
+                        "executables from ~/.cache/sketchyscene_tpu_jax)")
     return p
 
 
@@ -42,6 +46,9 @@ def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
     if args.image_id == -1:
         raise SystemExit("--image_id is required")
+    if not args.no_compile_cache:
+        from .utils.compile_cache import enable_persistent_compilation_cache
+        enable_persistent_compilation_cache()
 
     cfg = FrameworkConfig()
     cfg = dataclasses.replace(cfg, pipeline=PipelineConfig(

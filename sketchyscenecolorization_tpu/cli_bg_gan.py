@@ -30,6 +30,8 @@ def make_parser():
 
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
+    from .utils.compile_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     cfg = BGGanConfig(batch_size=args.batch_size, image_size=args.image_size,
                       vocab_size=args.vocab_size, max_len=args.max_len,
                       lr=args.lr, max_steps=args.max_steps)

@@ -51,6 +51,8 @@ def build_config(args) -> FGGanConfig:
 
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
+    from .utils.compile_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     cfg = build_config(args)
 
     if args.mode == "train":

@@ -45,6 +45,8 @@ def make_parser():
 
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
+    from .utils.compile_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     s = args.model_scale
     cfg = MatchingConfig(backbone=args.backbone, vocab_size=args.vocab_size,
                          max_len=args.max_len, max_iters=args.max_iteration,

@@ -5,6 +5,7 @@ test and by driving it against ``/root/reference/examples``; these tests pin
 the argument plumbing — reference ``sketchyscene_colorization_main.py:58-112``
 plus the ``--instructions`` stream extension.
 """
+import os
 import sys
 
 import pytest
@@ -65,3 +66,22 @@ def test_color_requires_some_instruction(stub):
 def test_image_id_required():
     with pytest.raises(SystemExit):
         cli.main(["--command", "color", "--instruction", "x"])
+
+
+def test_enable_persistent_compilation_cache(tmp_path, monkeypatch):
+    """Explicit path wins, env is honored, dir is created, jax config set."""
+    import jax
+    from sketchyscenecolorization_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        p = str(tmp_path / "cc_explicit")
+        assert enable_persistent_compilation_cache(p) == p
+        assert os.path.isdir(p)
+        assert jax.config.jax_compilation_cache_dir == p
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR",
+                           str(tmp_path / "cc_env"))
+        assert enable_persistent_compilation_cache() == \
+            str(tmp_path / "cc_env")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
