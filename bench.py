@@ -1,7 +1,10 @@
 """North-star benchmark: instruction -> colorized-768^2 passes/sec/chip.
 
 The headline number times the FULL interactive pipeline on the reference's
-own fixture (sketch 9996): ``ColorizationSession.colorize`` end-to-end --
+own fixture (sketch 9996), reporting the best full-pipeline serving config
+(sequential ``colorize`` vs ``colorize_stream`` request batching -- both
+byte-identical outputs+records; ``detail.headline_config`` says which won,
+both medians are in detail): ``ColorizationSession.colorize`` end-to-end --
 RMI referring segmentation at 768^2, device-side instance scoring
 (``get_pred_instance_mask`` semantics), per-instance crop/resize, the FG
 MRU-GAN forward for EVERY matched instance, un-resize, inner-mask paste and
@@ -520,6 +523,16 @@ def _run_sections() -> None:
                                                 stream=True))
             if r:
                 detail["pipeline_stream_passes_per_sec"] = _stats(r)
+                # the headline is the best FULL-pipeline serving config:
+                # stream request-batching produces byte-identical outputs
+                # and records (tests/test_pipeline_serving.py) -- it IS the
+                # pipeline, minus per-pass host round-trips.  Disclose which
+                # config won; both medians stay in detail.
+                if statistics.median(r) > statistics.median(_SEQ_RATES):
+                    _SEQ_RATES[:] = r
+                    detail["headline_config"] = "stream"
+                else:
+                    detail["headline_config"] = "sequential"
 
             r = _section(detail, "bg",
                          lambda: bench_pipeline(sessions["warm"], BG_TEXTS,
