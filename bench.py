@@ -43,6 +43,7 @@ import dataclasses
 import json
 import os
 import shutil
+import signal
 import statistics
 import subprocess
 import sys
@@ -62,7 +63,7 @@ jnp = None
 TARGET_PASSES_PER_SEC = 50.0
 EXAMPLES = os.environ.get("BENCH_EXAMPLES", "/root/reference/examples")
 IMAGE_ID = 9996
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", "5"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 PASSES = int(os.environ.get("BENCH_PASSES", "12"))
 DEVICE_ITERS = int(os.environ.get("BENCH_DEVICE_ITERS", "24"))
 RUN_TRAIN = os.environ.get("BENCH_TRAIN", "1") == "1"
@@ -109,12 +110,7 @@ _SEQ_RATES: list = []
 _EMITTED = threading.Event()
 
 
-def _emit(error: str = "") -> None:
-    """Print the one JSON line exactly once (main or watchdog, whoever
-    gets there first)."""
-    if _EMITTED.is_set():
-        return
-    _EMITTED.set()
+def _json_line(error: str = "") -> str:
     value = statistics.median(_SEQ_RATES) if _SEQ_RATES else 0.0
     out = {
         "metric": "instruction_to_colorized_768_pipeline_passes_per_sec_per_chip",
@@ -125,11 +121,32 @@ def _emit(error: str = "") -> None:
     }
     if error:
         out["error"] = error[:500]
-    print(json.dumps(out), flush=True)
+    return json.dumps(out)
+
+
+def _emit(error: str = "") -> None:
+    """Print the one JSON line exactly once (main or watchdog, whoever
+    gets there first)."""
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    print(_json_line(error), flush=True)
+
+
+def _emit_provisional() -> None:
+    """Stream the current result JSON to stdout after every completed
+    section.  The supervisor holds back JSON lines and forwards only the
+    LAST one seen, so a later (more complete / final) line supersedes an
+    earlier provisional -- and an external SIGTERM/SIGKILL at any point
+    still leaves the driver a parseable number (round-3 postmortem:
+    BENCH_r03 recorded parsed=null because the one line only printed at
+    the very end)."""
+    if not _EMITTED.is_set():
+        print(_json_line(), flush=True)
 
 
 def _start_watchdog() -> None:
-    deadline = float(os.environ.get("BENCH_DEADLINE_SEC", "2100"))
+    deadline = float(os.environ.get("BENCH_DEADLINE_SEC", "1500"))
 
     def fire():
         _DETAIL["watchdog"] = (
@@ -155,7 +172,7 @@ def _probe_backend() -> str:
     watchdog's deadline."""
     attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "12"))
     timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "120"))
-    deadline = float(os.environ.get("BENCH_DEADLINE_SEC", "2100"))
+    deadline = float(os.environ.get("BENCH_DEADLINE_SEC", "1500"))
     reserve = float(os.environ.get("BENCH_MEASURE_RESERVE_SEC", "900"))
     t_end = time.monotonic() + max(deadline - reserve, timeout)
     code = ("import jax, json; d = jax.devices(); "
@@ -484,14 +501,21 @@ def _progress(name, value):
 
 def _section(detail, name, fn):
     """Run one bench section fail-soft: a crash (tunnel hiccup, compile
-    regression) records an error entry instead of losing the whole JSON."""
+    regression) records an error entry instead of losing the whole JSON.
+    Records per-section wall time and streams a provisional JSON line so a
+    kill mid-run still leaves the completed sections on stdout."""
+    t0 = time.monotonic()
     try:
         result = fn()
     except Exception as e:                                 # noqa: BLE001
         detail[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
         _progress(name, detail[f"{name}_error"])
-        return None
-    _progress(name, result)
+        result = None
+    else:
+        _progress(name, result)
+    detail.setdefault("section_secs", {})[name] = round(
+        time.monotonic() - t0, 1)
+    _emit_provisional()
     return result
 
 
@@ -516,6 +540,7 @@ def _run_sections() -> None:
             detail["pipeline_seq_passes_per_sec"] = _stats(seq_rates)
             detail["avg_instances_per_pass"] = round(
                 count_instances(sessions["warm"]), 2)
+            _emit_provisional()          # headline exists from here on
 
             r = _section(detail, "pipeline_stream",
                          lambda: bench_pipeline(sessions["warm"], FG_TEXTS,
@@ -533,6 +558,7 @@ def _run_sections() -> None:
                     detail["headline_config"] = "stream"
                 else:
                     detail["headline_config"] = "sequential"
+                _emit_provisional()
 
             r = _section(detail, "bg",
                          lambda: bench_pipeline(sessions["warm"], BG_TEXTS,
@@ -604,15 +630,39 @@ def main():
 def _supervise() -> int:
     """Parent mode: run the bench as a child process and guarantee the one
     JSON line appears on stdout no matter how the child dies -- including a
-    GIL-held C-level hang where no in-process watchdog can run."""
-    deadline = float(os.environ.get("BENCH_DEADLINE_SEC", "2100"))
+    GIL-held C-level hang where no in-process watchdog can run.
+
+    The child streams provisional JSON lines after every completed section;
+    the parent holds them back and forwards only the LAST one.  An external
+    SIGTERM/SIGINT (the driver's own ``timeout`` -- round-3 postmortem:
+    rc=124 with parsed=null because the parent had no handler) triggers the
+    same flush path: kill child, print the freshest JSON, exit 0."""
+    deadline = float(os.environ.get("BENCH_DEADLINE_SEC", "1500"))
     env = dict(os.environ, BENCH_CHILD="1",
                # child's own watchdog fires first so partial sections survive
                BENCH_DEADLINE_SEC=str(max(60.0, deadline - 90.0)))
     proc = subprocess.Popen(
         [sys.executable, "-u", os.path.abspath(__file__)], env=env,
         stdout=subprocess.PIPE, text=True)
-    json_line = None
+    state = {"json_line": None, "rc": None}
+
+    def flush_and_exit(signum, frame):                     # noqa: ARG001
+        try:
+            proc.kill()
+        except OSError:
+            pass
+        line = state["json_line"] or json.dumps({
+            "metric":
+                "instruction_to_colorized_768_pipeline_passes_per_sec_per_chip",
+            "value": 0.0, "unit": "passes/sec/chip", "vs_baseline": 0.0,
+            "detail": {},
+            "error": f"bench supervisor received signal {signum} before any "
+                     f"section completed"})
+        print(line, flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, flush_and_exit)
+    signal.signal(signal.SIGINT, flush_and_exit)
     killer = threading.Timer(deadline, proc.kill)
     killer.daemon = True
     killer.start()
@@ -620,20 +670,21 @@ def _supervise() -> int:
         for line in proc.stdout:
             line = line.rstrip("\n")
             if line.startswith("{"):
-                json_line = line
+                state["json_line"] = line
             elif line:
                 print(line, flush=True)
-        rc = proc.wait()
+        state["rc"] = proc.wait()
     finally:
         killer.cancel()
+    json_line = state["json_line"]
     if json_line is None:
         json_line = json.dumps({
             "metric":
                 "instruction_to_colorized_768_pipeline_passes_per_sec_per_chip",
             "value": 0.0, "unit": "passes/sec/chip", "vs_baseline": 0.0,
             "detail": {},
-            "error": f"bench child produced no JSON (rc={rc}; killed at "
-                     f"{deadline:.0f}s deadline if rc<0)"})
+            "error": f"bench child produced no JSON (rc={state['rc']}; killed "
+                     f"at {deadline:.0f}s deadline if rc<0)"})
     print(json_line, flush=True)
     return 0
 

@@ -5,6 +5,12 @@ and a VOC precision envelope; mask I/U as plain logical sums.  The greedy
 matcher is vectorized where the reference loops (overlaps matrix via one
 matmul, ``compute_overlaps_masks``), but the per-prediction greedy assignment
 keeps its sequential semantics (it is order-dependent by design).
+
+Provenance: the ``compute_ap``/``compute_overlaps_masks`` algorithm in the
+reference (``eval_tools.py:34-113``) is itself lifted from matterport's
+Mask R-CNN ``utils.py`` (MIT license); this module reproduces that algorithm
+because its exact numerics ARE the metric spec the reference evaluates with
+(oracle-tested equal in ``tests/test_eval_tools_oracle.py``).
 """
 from __future__ import annotations
 

@@ -38,6 +38,32 @@ def test_bench_emits_json_when_backend_unavailable():
     assert "error" in out and "backend unavailable" in out["error"]
 
 
+def test_bench_emits_json_on_external_sigterm():
+    """The driver's own ``timeout`` SIGTERMs the supervisor (round-3 failure
+    mode: rc=124, parsed=null).  The supervisor's signal handler must kill
+    the child and print the freshest JSON line, exiting 0."""
+    import signal
+    import time
+    env = {k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)}
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "BENCH_DEADLINE_SEC": "600",
+        "BENCH_ROUNDS": "1", "BENCH_PASSES": "1", "BENCH_TRAIN": "0",
+    })
+    proc = subprocess.Popen([sys.executable, "-u", BENCH], env=env,
+                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                            text=True)
+    time.sleep(15)                      # mid-probe / mid-compile
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=60)
+    json_lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+    assert json_lines, f"no JSON line after SIGTERM\n{out}"
+    parsed = json.loads(json_lines[-1])
+    assert parsed["metric"] == \
+        "instruction_to_colorized_768_pipeline_passes_per_sec_per_chip"
+    assert proc.returncode == 0
+
+
 def test_bench_emits_partial_json_on_deadline():
     """A deadline too short for any section still yields the JSON line
     (child watchdog path): rc 0, value 0, watchdog note in detail or error."""
