@@ -590,9 +590,10 @@ def _run_sections() -> None:
     if r:
         detail["device_only_bf16_passes_per_sec"] = _stats(r[0])
         detail["bf16_note"] = (
-            "XLA default matmul precision already runs f32 convs as one bf16 "
-            "MXU pass; the bf16 policy additionally stores activations at half "
-            "width (HBM), so the delta is bandwidth-bound layers only")
+            "A/B only: XLA's default f32 path already runs the MXU in bf16, "
+            "and the policy's explicit storage casts break conv+BN+act "
+            "fusions -- measured ~2x SLOWER than f32 on both models "
+            "(ops/conv.py); the knob is a numerics experiment, default f32")
 
     if jax.default_backend() == "tpu":
         r = _section(detail, "mlstm_kernel", bench_mlstm_kernel)

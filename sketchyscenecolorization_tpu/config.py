@@ -181,6 +181,13 @@ class PipelineConfig:
                                          # the host chain -- see
                                          # pipeline/device_compositing.py);
                                          # False keeps the NumPy/PIL chain
+    compact_fetch: bool = True           # with device_compositing: fetch only
+                                         # each pass's changed pixels (inner-
+                                         # mask sets + host-known overlay) and
+                                         # rebuild the canvas on host -- the
+                                         # axon tunnel moves ~20 MB/s, so the
+                                         # full-canvas fetch was the serving
+                                         # bottleneck; byte-equal (tested)
     # serving memory bounds (the reference tears its graphs down per command,
     # fg_matching_utils.py:29-38, so it never accumulates state; the cached
     # redesign must not leak either).  0 = unbounded.

@@ -23,11 +23,17 @@ _DIMS = ("NHWC", "HWIO", "NHWC")
 # Measured reality on TPU (v5e, XLA default matmul precision): a float32
 # conv/dot already computes as one bf16 pass on the MXU -- explicit bf16
 # operand casts are bitwise-identical to the f32 default (while
-# Precision.HIGHEST differs).  So the win of the bfloat16 policy is *HBM
-# traffic* (activations stored at half width), not MXU rate; accumulation
-# stays float32 via ``preferred_element_type`` either way.  The scope is read
-# while *tracing*, so it must wrap the traced call (engines bake it into
-# their per-engine jit functions).
+# Precision.HIGHEST differs).  The bfloat16 policy therefore buys nothing on
+# the MXU, and in practice it LOSES: measured r4 on the serving models, bf16
+# is ~2x slower than f32 (RMI fused 33.2 vs 14.9 ms; FG GAN 256 rows 569 vs
+# 291 ms, 25.8 vs 50.3 TF/s) -- the extra convert ops around every conv
+# break XLA's conv+BN+activation fusions, costing more HBM traffic than the
+# half-width activation storage saves.  The knob is retained for numerics
+# experiments (tolerance-tested per model) but is NOT a performance feature;
+# the default everywhere is float32.  Accumulation stays float32 via
+# ``preferred_element_type`` either way.  The scope is read while *tracing*,
+# so it must wrap the traced call (engines bake it into their per-engine jit
+# functions).
 _SCOPE_DTYPE = [None]
 
 

@@ -58,11 +58,32 @@ class DeviceCompositor:
     def __init__(self, inner_mask: np.ndarray, moved: np.ndarray,
                  drawings_region: np.ndarray, pred_boxes, pred_class_ids):
         self._inner = jnp.asarray(inner_mask.astype(np.int32))
+        self._inner_host = inner_mask
         self._moved = jnp.asarray(moved)                      # uint8
         self._drawings = jnp.asarray(drawings_region)         # bool
         self._boxes = [tuple(int(v) for v in b) for b in pred_boxes]
         self._class46 = [int(c) for c in pred_class_ids]
         self._programs: "OrderedDict[tuple, object]" = OrderedDict()
+        self._idx_host: dict = {}            # inst -> flat pixel indices
+        self._idx_dev: dict = {}
+
+    def host_idx(self, inst_idx: int) -> np.ndarray:
+        """Flat (row-major) pixel indices the paste of ``inst_idx`` can touch
+        (``inner_mask == inst+1``) -- the exact changed-pixel set of a pass,
+        shared by the device gather and the host scatter."""
+        idx = self._idx_host.get(inst_idx)
+        if idx is None:
+            idx = np.flatnonzero(
+                self._inner_host == inst_idx + 1).astype(np.int32)
+            self._idx_host[inst_idx] = idx
+        return idx
+
+    def _dev_idx(self, inst_idx: int):
+        idx = self._idx_dev.get(inst_idx)
+        if idx is None:
+            idx = jnp.asarray(self.host_idx(inst_idx))
+            self._idx_dev[inst_idx] = idx
+        return idx
 
     def composite(self, canvas_dev, gen_dev,
                   inst_indices: Sequence[int], row_offset: int = 0):
@@ -97,6 +118,53 @@ class DeviceCompositor:
             while len(self._programs) > _MAX_PROGRAMS:
                 self._programs.popitem(last=False)
         return fn(canvas_dev, gen_dev)
+
+    def composite_run_compact(self, canvas_dev, gen_dev,
+                              passes: Sequence[Tuple[Tuple[int, ...], int]]):
+        """Like ``composite_run`` but returns ``(final_canvas, patches)``
+        where ``patches`` is a per-pass list of flat device uint8 [N_m, 3]
+        arrays holding the post-overlay pixel values at ``host_idx(i)`` for
+        each matched instance of pass m -- the COMPLETE changed-pixel set of
+        that pass (paste touches only ``inner_mask == i+1``; the stroke
+        overlay is a host-known constant).  Small per-pass host fetches
+        (started async, overlapping host reconstruction of earlier passes)
+        replace M full-canvas fetches;
+        ``ColorizationSession._reconstruct`` rebuilds byte-identical host
+        canvases (equality asserted in tests/test_pipeline_serving.py).
+
+        The measured point of all this: the axon tunnel moves device->host
+        bytes at ~10-20 MB/s, so the 768^2 canvas fetch (~85 ms) dominated
+        serving; the changed-pixel set is 2-50x smaller."""
+        key = ("compact", tuple((tuple(p), off) for p, off in passes),
+               gen_dev.shape)
+        fn = self._programs.get(key)
+        if fn is not None:
+            self._programs.move_to_end(key)
+        else:
+            fn = self._build_run_compact(
+                tuple((tuple(p), off) for p, off in passes))
+            self._programs[key] = fn
+            while len(self._programs) > _MAX_PROGRAMS:
+                self._programs.popitem(last=False)
+        return fn(canvas_dev, gen_dev)
+
+    def _build_run_compact(self,
+                           passes: Tuple[Tuple[Tuple[int, ...], int], ...]):
+        metas_per_pass = [self._metas(p, off) for p, off in passes]
+        idx_per_pass = [[self._dev_idx(i) for i in p] for p, _ in passes]
+
+        @jax.jit
+        def run(canvas, gen):
+            patches = []
+            for metas, idx_list in zip(metas_per_pass, idx_per_pass):
+                canvas = self._apply_pass(canvas, gen, metas)
+                flat = canvas.reshape(-1, 3)
+                gathered = [flat[idx] for idx in idx_list]
+                patches.append(jnp.concatenate(gathered) if gathered
+                               else jnp.zeros((0, 3), jnp.uint8))
+            return canvas, patches
+
+        return run
 
     def _metas(self, inst_indices: Tuple[int, ...], row_offset: int):
         metas = []

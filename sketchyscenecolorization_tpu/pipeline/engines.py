@@ -310,9 +310,15 @@ class FGColorizeEngine:
         rows = (tuple(instance_sketches[i] for i in range(k))
                 if isinstance(instance_sketches, np.ndarray)
                 else tuple(instance_sketches))
-        bucket = 1
-        while bucket < k:
-            bucket *= 2
+        # pow2 buckets up to 32, then multiples of 32: a 216-row stream run
+        # pads to 224 instead of 256 (the GAN forward is the device floor at
+        # ~1.1 ms/row, so pad rows are pure waste); still a bounded jit cache
+        if k <= 32:
+            bucket = 1
+            while bucket < k:
+                bucket *= 2
+        else:
+            bucket = ((k + 31) // 32) * 32
         x, tok, ids, noise, self._rng = self._prepare(
             self._rng, rows, np.asarray(tokens_rows, np.int32),
             np.asarray(class_ids25, np.int32), bucket=bucket)
@@ -360,3 +366,42 @@ class BGColorizeEngine:
         out, region = self._forward(self.g_params, fg_image_uint8[None],
                                     np.asarray(tokens, np.int32)[None])
         return np.array(out)[0], (np.array(region)[0] if want_region else None)
+
+    def _build_composited(self):
+        """Whole BG pass in ONE dispatch on the device-resident canvas:
+        FG extraction (``bg_utils.py:219-226``), GAN forward, FG paste-back
+        and the stroke overlay (``bg_utils.py:294-310``) -- so the host
+        neither uploads the 768^2 FG composite nor runs the mask chain; one
+        canvas fetch remains (the HSV sky gradient is data-dependent host
+        work).  Byte-equal to the host chain
+        (``tests/test_pipeline_serving.py::test_device_compositing...``)."""
+        cfg = self.cfg
+        from ..train.bg_gan import build_models
+        gen, _ = build_models(cfg)
+
+        @jax.jit
+        def fwd(g_params, base_u8, inner_i32, moved_u8, drawings_b, tokens):
+            innerb = (inner_i32 != 0)[..., None]
+            fg = jnp.where(innerb, base_u8, jnp.uint8(255))
+            x = fg[None].astype(jnp.float32) / 255.0 * 2.0 - 1.0
+            with compute_dtype_scope(cfg.compute_dtype):
+                result = gen.apply({"params": g_params}, x, tokens)
+            out = (result[0] if cfg.residual_enc_g else result) \
+                .astype(jnp.float32)
+            out_u8 = jnp.clip((out + 1.0) / 2.0 * 255.5, 0,
+                              255).astype(jnp.uint8)[0]
+            bg = jnp.where(innerb, fg, out_u8)
+            bg = jnp.where(drawings_b[..., None], moved_u8, bg)
+            return bg
+        self._forward_composited = fwd
+
+    def colorize_composited(self, base_dev, inner_dev, moved_dev,
+                            drawings_dev, text: str):
+        """Device canvas + per-image device constants (the FG compositor's)
+        -> post-paste post-overlay background canvas, still on device."""
+        if not hasattr(self, "_forward_composited"):
+            self._build_composited()
+        tokens = colorization_encode(text, self.vocab, self.cfg.max_len)
+        return self._forward_composited(
+            self.g_params, base_dev, inner_dev, moved_dev, drawings_dev,
+            np.asarray(tokens, np.int32)[None])

@@ -44,7 +44,16 @@ def png_bytes(arr: np.ndarray, level: int = 1) -> bytes:
         delta[:, 3:] = row[:, 3:] - row[:, :-3]
         raw = np.concatenate(
             [np.ones((h, 1), np.uint8), delta], axis=1).tobytes()
-    comp = zlib.compress(raw, level)
+    if level == 0:
+        comp = zlib.compress(raw, 0)
+    else:
+        # Z_RLE strategy: on Sub-filtered colorization output it is ~1.8x
+        # faster than the default strategy AND slightly smaller (measured
+        # 11 vs 20 ms, 507 vs 528 KB on a fully-colorized 768^2 canvas);
+        # still a standard zlib stream, so the PNG stays universally
+        # decodable (round-trip asserted in tests)
+        c = zlib.compressobj(level, zlib.DEFLATED, 15, 8, zlib.Z_RLE)
+        comp = c.compress(raw) + c.flush()
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
@@ -106,14 +115,15 @@ class AsyncPngWriter:
             err, self._error = self._error, None
             raise err
 
-    def save(self, path: str, arr, level: int = 1) -> None:
-        """``arr``: uint8 [H, W, 3] ndarray (copied -- callers may keep
-        mutating), or a DEVICE array (kept by handle: device buffers are
-        immutable, and the worker's ``np.asarray`` moves the device->host
-        fetch off the critical path too)."""
+    def save(self, path: str, arr, level: int = 1, copy: bool = True) -> None:
+        """``arr``: uint8 [H, W, 3] ndarray (copied by default -- callers may
+        keep mutating; pass ``copy=False`` when the caller guarantees the
+        array is never mutated), or a DEVICE array (kept by handle: device
+        buffers are immutable, and the worker's ``np.asarray`` moves the
+        device->host fetch off the critical path too)."""
         self._check()
         q = self._queues[hash(path) % len(self._queues)]
-        if isinstance(arr, np.ndarray):
+        if copy and isinstance(arr, np.ndarray):
             arr = np.array(arr, copy=True)
         q.put((path, arr, level))
 

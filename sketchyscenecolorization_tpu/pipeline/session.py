@@ -26,6 +26,12 @@ command):
   ([N_inst] floats -- thresholding and occupancy run on device,
   ``engines.MatchingEngine.score_instances``) and the batched instance GAN
   forward (uint8);
+- device->host bytes are minimized (the axon tunnel moves ~20 MB/s, so the
+  768^2 canvas fetch at ~85 ms dominated serving): with
+  ``PipelineConfig.compact_fetch`` each pass fetches only its changed pixels
+  (the matched instances' inner-mask sets; the stroke overlay is a
+  host-known constant) and the host canvas is reconstructed byte-exactly
+  (``_reconstruct``);
 - the latest result per image is kept in memory, so PNG encoding can be
   write-behind (``PipelineConfig.async_png_writes``) without changing any
   read-after-write behavior.
@@ -130,6 +136,15 @@ class _ImageState:
         # canvas mirror of last_result and the per-image compiled programs
         self.last_result_dev = None             # (name, device uint8 canvas)
         self.compositor = None                  # lazily-built DeviceCompositor
+        self._overlay_flat = None               # (flat idx, uint8 values)
+
+    def overlay_flat(self):
+        """(flat pixel indices, uint8 values) of the stroke overlay -- the
+        constant host half of compact-fetch reconstruction."""
+        if self._overlay_flat is None:
+            idx = np.flatnonzero(self.drawings_region)
+            self._overlay_flat = (idx, self.moved.reshape(-1, 3)[idx])
+        return self._overlay_flat
 
     def get_compositor(self):
         if self.compositor is None:
@@ -242,10 +257,12 @@ class ColorizationSession:
             self._images.popitem(last=False)   # LRU-evict (device tensors too)
         return state
 
-    def _save_result(self, path: str, image) -> None:
+    def _save_result(self, path: str, image, copy: bool = True) -> None:
         """image: uint8 ndarray or ``_LazyFetch`` (device canvas -- with the
         write-behind writer, the device->host fetch AND the encode both run
-        in the worker, overlapping the next pass's device work)."""
+        in the worker, overlapping the next pass's device work).
+        ``copy=False`` skips the enqueue-time defensive copy for arrays the
+        session guarantees it never mutates (compact-fetch reconstructions)."""
         level = self.cfg.pipeline.png_compress_level
         if isinstance(image, _LazyFetch):
             if self._writer is not None:
@@ -253,7 +270,7 @@ class ColorizationSession:
             else:
                 write_png(path, image.get(), level)
         elif self._writer is not None:
-            self._writer.save(path, image, level)
+            self._writer.save(path, image, level, copy=copy)
         else:
             write_png(path, image, level)
 
@@ -282,6 +299,28 @@ class ColorizationSession:
                 and state.last_result_dev[0] == last_name:
             return state.last_result_dev[1]
         return jnp.asarray(self._load_base(state, results_dir, last_name))
+
+    @staticmethod
+    def _reconstruct(state: _ImageState, prev: np.ndarray,
+                     patch_np: np.ndarray, inst_indices: Sequence[int],
+                     offset: int) -> Tuple[np.ndarray, int]:
+        """Rebuild one pass's canvas from the previous canvas + the compact
+        changed-pixel patch (``DeviceCompositor.composite_run_compact``).
+        Exact by construction: the device pass touches only the instances'
+        ``inner_mask`` pixels (patched here with post-overlay values) and the
+        stroke-overlay pixels (a host-known constant, applied first so a
+        pixel in both sets takes the patch's -- i.e. the device's -- value
+        ... which is the same overlay value).  Returns (canvas, new offset)."""
+        new = prev.copy()
+        flat = new.reshape(-1, 3)
+        ov_idx, ov_val = state.overlay_flat()
+        flat[ov_idx] = ov_val
+        comp_dev = state.get_compositor()
+        for inst_idx in inst_indices:
+            idx = comp_dev.host_idx(inst_idx)
+            flat[idx] = patch_np[offset: offset + len(idx)]
+            offset += len(idx)
+        return new, offset
 
     def flush(self) -> None:
         """Block until all write-behind PNGs are on disk."""
@@ -395,7 +434,9 @@ class ColorizationSession:
             plans.append((text, matched[p]))
 
         results_dir = self._results_dir(image_id)
+        compact = self.cfg.pipeline.compact_fetch
         generated_u8 = canvases = None
+        final_canvas = patch_list = prev_host = None
         if device_comp and plans[:n_ok]:
             # the ENTIRE run's compositing in one dispatch (3 device calls
             # per FG run total: matching + generation + compositing); the
@@ -415,8 +456,20 @@ class ColorizationSession:
             for _, inst in plans[:n_ok]:
                 passes.append((tuple(inst), off))
                 off += len(inst)
-            canvases = state.get_compositor().composite_run(base, gen_dev,
-                                                            passes)
+            compositor = state.get_compositor()
+            if compact:
+                # per-pass changed-pixel fetches (~10-20 MB/s tunnel: this
+                # is the difference between fetching M full canvases and a
+                # few hundred KB); async host copies start now so pass m+1's
+                # transfer overlaps pass m's host reconstruction + PNG
+                # enqueue; canvases rebuilt on host byte-exactly
+                final_canvas, patch_list = compositor.composite_run_compact(
+                    base, gen_dev, passes)
+                for p in patch_list:
+                    p.copy_to_host_async()
+                prev_host = self._load_base(state, results_dir, last0)
+            else:
+                canvases = compositor.composite_run(base, gen_dev, passes)
         elif rows:
             generated_u8 = self.fg.colorize_rows(
                 np.stack(rows), row_class_ids,
@@ -427,7 +480,14 @@ class ColorizationSession:
         for m, (text, inst_indices) in enumerate(plans[:n_ok]):
             new_name, last_name, last_bg_text, summary = fetch_records(
                 image_id, self.cfg.pipeline.results_base_dir)
-            if canvases is not None:
+            if patch_list is not None:
+                new_result, _ = self._reconstruct(
+                    state, prev_host, np.asarray(patch_list[m]),
+                    inst_indices, 0)
+                prev_host = new_result
+                if m == n_ok - 1:
+                    state.last_result_dev = (new_name, final_canvas)
+            elif canvases is not None:
                 new_result = _LazyFetch(canvases[m])
                 state.last_result_dev = (new_name, canvases[m])
             else:
@@ -443,7 +503,8 @@ class ColorizationSession:
                 new_result[state.drawings_region] = \
                     state.moved[state.drawings_region]
             out_path = os.path.join(results_dir, new_name)
-            self._save_result(out_path, new_result)
+            self._save_result(out_path, new_result,
+                              copy=patch_list is None)
             state.last_result = (new_name, new_result)
             update_records(image_id, text,
                            self.cfg.pipeline.results_base_dir, "FG",
@@ -530,9 +591,18 @@ class ColorizationSession:
             gen_dev, _ = self.fg.colorize_rows_dev(
                 batch, class_ids25, tokens_rows)
             canvas = self._canvas_dev(state, results_dir, last_name)
-            canvas = state.get_compositor().composite(
-                canvas, gen_dev, list(inst_indices))
-            new_result = _LazyFetch(canvas)
+            compositor = state.get_compositor()
+            if self.cfg.pipeline.compact_fetch:
+                # fetch only this pass's changed pixels; rebuild on host
+                canvas, patches_dev = compositor.composite_run_compact(
+                    canvas, gen_dev, [(tuple(inst_indices), 0)])
+                new_result, _ = self._reconstruct(
+                    state, self._load_base(state, results_dir, last_name),
+                    np.asarray(patches_dev[0]), inst_indices, 0)
+            else:
+                canvas = compositor.composite(canvas, gen_dev,
+                                              list(inst_indices))
+                new_result = _LazyFetch(canvas)
             state.last_result_dev = (new_name, canvas)
         else:
             new_result = self._load_base(state, results_dir, last_name)
@@ -550,7 +620,10 @@ class ColorizationSession:
                 state.moved[state.drawings_region]
 
         out_path = os.path.join(results_dir, new_name)
-        self._save_result(out_path, new_result)
+        self._save_result(
+            out_path, new_result,
+            copy=not (batch and device_comp
+                      and self.cfg.pipeline.compact_fetch))
         state.last_result = (new_name, new_result)
         return out_path
 
@@ -570,19 +643,39 @@ class ColorizationSession:
             previous = self._load_base(state, results_dir, last_name)
 
         inner_mask = state.inner_mask
-        fg_image = comp.extract_foreground(previous, inner_mask)
-        fg_image_temp = fg_image.copy()
-
-        proc_text = combine_bg_input_text(input_text, last_bg_text)
-        background, _ = self.bg.colorize(fg_image, proc_text,
-                                         want_region=False)
-
-        # paste FG back, overlay drawings (skipping grass), save the fg debug
-        # image like the reference does (``bg_utils.py:290-310``)
-        background[inner_mask != 0] = fg_image[inner_mask != 0]
         moved, drawings_region = state.moved, state.drawings_region
-        background[drawings_region] = moved[drawings_region]
+        proc_text = combine_bg_input_text(input_text, last_bg_text)
 
+        if self.cfg.pipeline.device_compositing:
+            # one dispatch: FG extract + GAN + paste-back + overlay on the
+            # device-resident canvas (no 768^2 host->device upload); ONE
+            # canvas fetch remains -- the sky gradient is data-dependent
+            # host work on the whole image, so BG has no compact-fetch
+            # equivalent (changed pixels = everything outside the FG mask)
+            compositor = state.get_compositor()
+            base = self._canvas_dev(state, results_dir, last_name)
+            bg_dev = self.bg.colorize_composited(
+                base, compositor._inner, compositor._moved,
+                compositor._drawings, proc_text)
+            background = np.asarray(bg_dev)
+            # fg debug image from host-known state (no extra fetch)
+            fg_image_temp = comp.extract_foreground(previous, inner_mask)
+            if not self.cfg.pipeline.color_gradient:
+                state.last_result_dev = (new_name, bg_dev)
+            else:
+                state.last_result_dev = None   # gradient happens on host
+        else:
+            fg_image = comp.extract_foreground(previous, inner_mask)
+            fg_image_temp = fg_image.copy()
+            background, _ = self.bg.colorize(fg_image, proc_text,
+                                             want_region=False)
+            # paste FG back, overlay drawings (skipping grass)
+            # (``bg_utils.py:290-310``)
+            background[inner_mask != 0] = fg_image[inner_mask != 0]
+            background[drawings_region] = moved[drawings_region]
+            state.last_result_dev = None
+
+        # save the fg debug image like the reference does (bg_utils.py:290)
         fg_image_temp[drawings_region] = moved[drawings_region]
         self._save_result(os.path.join(results_dir, f"{image_id}_fg.png"),
                           fg_image_temp)

@@ -42,6 +42,7 @@ HEAVY_MODULES = {
     "test_rmi", "test_fg_gan", "test_fg_gan_variants", "test_bg_gan",
     "test_goldens", "test_procedures", "test_converter_and_viz",
     "test_pallas_mlstm", "test_data_and_harness", "test_bench_resilience",
+    "test_real_weight_parity",
 }
 
 

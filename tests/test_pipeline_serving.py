@@ -232,6 +232,39 @@ def test_device_compositing_matches_host_chain(serving_env):
     assert rec_a == rec_b
 
 
+def test_compact_fetch_matches_full_canvas_path(serving_env):
+    """Compact changed-pixel fetch + host reconstruction
+    (``DeviceCompositor.composite_run_compact`` + ``_reconstruct``) must be
+    byte-identical to the full-canvas-fetch device path, sequentially and
+    streamed, including records and the device-canvas chain across passes."""
+    tmp, cfg, base = serving_env
+    texts = ["the bus is yellow", "the grass is green",
+             "the sky is blue and the ground is green", "the bus is red"]
+    compact = base.clone(seed=9, results_base_dir=str(tmp / "cf_on"),
+                         device_compositing=True, compact_fetch=True)
+    full = base.clone(seed=9, results_base_dir=str(tmp / "cf_off"),
+                      device_compositing=True, compact_fetch=False)
+    for t in texts:
+        a = np.array(Image.open(compact.colorize(7, t)).convert("RGB"))
+        b = np.array(Image.open(full.colorize(7, t)).convert("RGB"))
+        np.testing.assert_array_equal(a, b, err_msg=t)
+
+    c_s = base.clone(seed=11, results_base_dir=str(tmp / "cf_on_s"),
+                     device_compositing=True, compact_fetch=True)
+    f_s = base.clone(seed=11, results_base_dir=str(tmp / "cf_off_s"),
+                     device_compositing=True, compact_fetch=False)
+    for a_p, b_p in zip(c_s.colorize_stream(7, texts),
+                        f_s.colorize_stream(7, texts)):
+        np.testing.assert_array_equal(
+            np.array(Image.open(a_p).convert("RGB")),
+            np.array(Image.open(b_p).convert("RGB")), err_msg=a_p)
+    rec_a = json.load(open(tmp / "cf_on_s" / "update_records" /
+                           "7_records.json"))
+    rec_b = json.load(open(tmp / "cf_off_s" / "update_records" /
+                           "7_records.json"))
+    assert rec_a == rec_b
+
+
 def test_stream_failure_matches_sequential(serving_env):
     """A pass failing mid-run (single-line road, ``fg_color_utils.py:306-308``)
     must leave the stream session in exactly the sequential failure state:
