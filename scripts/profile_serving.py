@@ -148,6 +148,38 @@ def main():
     print(f"seq    end-to-end: {d_seq*1e3:8.1f} ms "
           f"({n/d_seq:6.2f} passes/s)")
 
+    # ---- BG path breakdown
+    import sketchyscenecolorization_tpu.pipeline.compositing as comp
+    bg_texts = ["the sky is blue and the ground is green",
+                "the sky is red and the ground is gray"]
+    session.colorize(IMAGE_ID, bg_texts[0])
+    session.flush()
+
+    def bg_run():
+        for t in bg_texts:
+            session.colorize(IMAGE_ID, t)
+        session.flush()
+    d_bg = t(bg_run, n=3)
+    print(f"bg end-to-end x2: {d_bg*1e3:8.1f} ms "
+          f"({2/d_bg:6.2f} passes/s)")
+
+    compositor = state.get_compositor()
+    base_dev = session._canvas_dev(state, results_dir, "")
+
+    def bg_dispatch():
+        out = session.bg.colorize_composited(
+            base_dev, compositor._inner, compositor._moved,
+            compositor._drawings, "the sky is blue and the ground is green")
+        jax.block_until_ready(out)
+        return out
+    d_bgd = t(bg_dispatch, n=3)
+    bg_canvas = np.asarray(bg_dispatch())
+    d_bgf = t(lambda: np.asarray(bg_dispatch()), n=3) - d_bgd
+    d_grad = t(lambda: comp.add_color_gradient(bg_canvas, state.inner_mask),
+               n=3)
+    print(f"bg device dispatch: {d_bgd*1e3:8.1f} ms   canvas fetch: "
+          f"{max(d_bgf, 0)*1e3:8.1f} ms   gradient(host): {d_grad*1e3:8.1f} ms")
+
     # accounting
     print("\n--- accounting (stream run, ms) ---")
     acc = {

@@ -188,6 +188,15 @@ class PipelineConfig:
                                          # axon tunnel moves ~20 MB/s, so the
                                          # full-canvas fetch was the serving
                                          # bottleneck; byte-equal (tested)
+    stream_segment_rows: int = 112       # split a stream FG run into GAN+
+                                         # compositing segments of ~this many
+                                         # instance rows (buckets to 128, a
+                                         # measured-good batch size) so an
+                                         # earlier segment's patch fetches
+                                         # overlap a later segment's GAN
+                                         # compute; 0 = one segment (noise
+                                         # chain & outputs identical either
+                                         # way -- tested)
     # serving memory bounds (the reference tears its graphs down per command,
     # fg_matching_utils.py:29-38, so it never accumulates state; the cached
     # redesign must not leak either).  0 = unbounded.

@@ -438,37 +438,75 @@ class ColorizationSession:
         generated_u8 = canvases = None
         final_canvas = patch_list = prev_host = None
         if device_comp and plans[:n_ok]:
-            # the ENTIRE run's compositing in one dispatch (3 device calls
-            # per FG run total: matching + generation + compositing); the
-            # canvas chains through the passes exactly as the host loop
-            gen_dev = None
-            if rows:
-                gen_dev, _ = self.fg.colorize_rows_dev(
-                    rows, row_class_ids,
-                    np.asarray(row_tokens, np.int32))
-            else:                       # all passes matched nothing: the
+            # the ENTIRE run's device work in 1+S dispatches (matching, then
+            # GAN + compositing per segment); the canvas chains through the
+            # passes exactly as the host loop
+            zero_gen = None
+            if not rows:                # all passes matched nothing: the
                 s = self.cfg.pipeline.instance_size   # program ignores gen
-                gen_dev = jnp.zeros((1, s, s, 3), jnp.uint8)
+                zero_gen = jnp.zeros((1, s, s, 3), jnp.uint8)
             _, last0, _, _ = fetch_records(
                 image_id, self.cfg.pipeline.results_base_dir)
             base = self._canvas_dev(state, results_dir, last0)
-            passes, off = [], 0
-            for _, inst in plans[:n_ok]:
-                passes.append((tuple(inst), off))
-                off += len(inst)
             compositor = state.get_compositor()
+            pass_rows = [len(inst) for _, inst in plans[:n_ok]]
             if compact:
                 # per-pass changed-pixel fetches (~10-20 MB/s tunnel: this
                 # is the difference between fetching M full canvases and a
-                # few hundred KB); async host copies start now so pass m+1's
-                # transfer overlaps pass m's host reconstruction + PNG
-                # enqueue; canvases rebuilt on host byte-exactly
-                final_canvas, patch_list = compositor.composite_run_compact(
-                    base, gen_dev, passes)
-                for p in patch_list:
-                    p.copy_to_host_async()
+                # few hundred KB).  The run is split into segments of
+                # ~stream_segment_rows instance rows; async host copies
+                # start per segment, so an earlier segment's transfers
+                # overlap the NEXT segment's GAN compute (and host
+                # reconstruction overlaps both).  The noise chain is
+                # bit-identical however the run is segmented: the jitted
+                # prepare continues the rng row by row.
+                seg_rows = self.cfg.pipeline.stream_segment_rows
+                bounds, acc, start = [], 0, 0
+                for m, r in enumerate(pass_rows):
+                    acc += r
+                    if seg_rows > 0 and acc >= seg_rows \
+                            and m + 1 < len(pass_rows):
+                        bounds.append((start, m + 1))
+                        start, acc = m + 1, 0
+                bounds.append((start, len(pass_rows)))
+
+                canvas = base
+                patch_list = []
+                row_start = 0
+                for s0, s1 in bounds:
+                    n_seg = sum(pass_rows[s0:s1])
+                    if n_seg:
+                        seg_gen, _ = self.fg.colorize_rows_dev(
+                            rows[row_start: row_start + n_seg],
+                            row_class_ids[row_start: row_start + n_seg],
+                            np.asarray(
+                                row_tokens[row_start: row_start + n_seg],
+                                np.int32))
+                    else:
+                        s = self.cfg.pipeline.instance_size
+                        seg_gen = jnp.zeros((1, s, s, 3), jnp.uint8)
+                    seg_passes, off = [], 0
+                    for m in range(s0, s1):
+                        seg_passes.append((tuple(plans[m][1]), off))
+                        off += pass_rows[m]
+                    canvas, plist = compositor.composite_run_compact(
+                        canvas, seg_gen, seg_passes)
+                    for p in plist:
+                        p.copy_to_host_async()
+                    patch_list.extend(plist)
+                    row_start += n_seg
+                final_canvas = canvas
                 prev_host = self._load_base(state, results_dir, last0)
             else:
+                gen_dev = zero_gen
+                if rows:
+                    gen_dev, _ = self.fg.colorize_rows_dev(
+                        rows, row_class_ids,
+                        np.asarray(row_tokens, np.int32))
+                passes, off = [], 0
+                for _, inst in plans[:n_ok]:
+                    passes.append((tuple(inst), off))
+                    off += len(inst)
                 canvases = compositor.composite_run(base, gen_dev, passes)
         elif rows:
             generated_u8 = self.fg.colorize_rows(

@@ -264,6 +264,21 @@ def test_compact_fetch_matches_full_canvas_path(serving_env):
                            "7_records.json"))
     assert rec_a == rec_b
 
+    # forced multi-segment run (segment per row) == unsegmented: the GAN
+    # noise chain and every canvas must be identical however the run is
+    # split into GAN+compositing segments
+    seg = base.clone(seed=13, results_base_dir=str(tmp / "cf_seg"),
+                     device_compositing=True, compact_fetch=True,
+                     stream_segment_rows=1)
+    unseg = base.clone(seed=13, results_base_dir=str(tmp / "cf_unseg"),
+                       device_compositing=True, compact_fetch=True,
+                       stream_segment_rows=0)
+    for a_p, b_p in zip(seg.colorize_stream(7, texts),
+                        unseg.colorize_stream(7, texts)):
+        np.testing.assert_array_equal(
+            np.array(Image.open(a_p).convert("RGB")),
+            np.array(Image.open(b_p).convert("RGB")), err_msg=a_p)
+
 
 def test_stream_failure_matches_sequential(serving_env):
     """A pass failing mid-run (single-line road, ``fg_color_utils.py:306-308``)
