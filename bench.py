@@ -14,8 +14,9 @@ metric BASELINE.md defines (>=50 passes/sec/chip on TPU v5e); the reference
 call stack it covers is SURVEY.md §3.1 / ``fg_color_utils.py:188-363``.
 
 Also reported (in the same JSON line, under "detail"):
-- pipeline_stream: ``colorize_stream`` request batching (one matching + one
-  GAN dispatch per run of FG instructions; byte-identical outputs);
+- pipeline_stream: ``colorize_stream`` request batching (one matching
+  dispatch per FG run, then GAN+compositing segments whose changed-pixel
+  fetches overlap the next segment's compute; byte-identical outputs);
 - pipeline_cold_backbone: per-image feature caching disabled, i.e. the full
   ResNet-101 backbone re-runs every instruction;
 - bg_passes_per_sec: the background-colorization path at 768^2;
@@ -65,8 +66,13 @@ EXAMPLES = os.environ.get("BENCH_EXAMPLES", "/root/reference/examples")
 IMAGE_ID = 9996
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 PASSES = int(os.environ.get("BENCH_PASSES", "12"))
-DEVICE_ITERS = int(os.environ.get("BENCH_DEVICE_ITERS", "24"))
+DEVICE_ITERS = int(os.environ.get("BENCH_DEVICE_ITERS", "64"))
 RUN_TRAIN = os.environ.get("BENCH_TRAIN", "1") == "1"
+# skip a train sub-bench when fewer than this many seconds remain before the
+# child watchdog: each train step is a multi-minute XLA compile on a cold
+# cache, and r4 showed the watchdog killing the bench mid-train-compile
+TRAIN_MIN_BUDGET = float(os.environ.get("BENCH_TRAIN_MIN_BUDGET", "420"))
+_DEADLINE_TS = [float("inf")]          # set by _start_watchdog
 
 # FG instructions over categories present in fixture 9996 (bus, tree, grass,
 # cloud, bird, chicken, rabbit, sun -- 1-based ids into colorMapC46)
@@ -147,6 +153,7 @@ def _emit_provisional() -> None:
 
 def _start_watchdog() -> None:
     deadline = float(os.environ.get("BENCH_DEADLINE_SEC", "1500"))
+    _DEADLINE_TS[0] = time.monotonic() + deadline
 
     def fire():
         _DETAIL["watchdog"] = (
@@ -314,7 +321,12 @@ def bench_device_only(compute_dtype: str):
         for i in range(DEVICE_ITERS):
             carry = one_pass(*params, *arg_sets[i], carry)
         float(carry)                     # forces the whole chain
-        rates.append(DEVICE_ITERS / (time.perf_counter() - t0 - latency))
+        elapsed = time.perf_counter() - t0
+        # the latency subtraction is only meaningful when the loop dwarfs
+        # the tunnel's swinging fetch latency; the clamp keeps a latency
+        # spike from fabricating an impossible rate (r4: a 24-iter loop
+        # comparable to the latency produced a bogus 1695 passes/s)
+        rates.append(DEVICE_ITERS / max(elapsed - latency, elapsed * 0.5))
     flops = None
     try:
         cost = jax.jit(one_pass).lower(*params, *arg_sets[0], zero).compile() \
@@ -418,7 +430,8 @@ def bench_train():
         make_bg_gan_train_step, make_fg_gan_train_step,
         make_matching_train_step)
     out = {}
-    rng = np.random.RandomState(0)
+    _DETAIL["train"] = out      # live-updated: partial train results (and
+    rng = np.random.RandomState(0)   # skip notes) survive a mid-section kill
 
     def timed_steps(run_step, n=4):
         run_step()                       # warm/compile
@@ -430,6 +443,20 @@ def bench_train():
             best = min(best, (time.perf_counter() - t0) / n)
         return best
 
+    def budget_ok(name: str) -> bool:
+        """Each train sub-bench is a multi-minute compile on a cold cache;
+        starting one the watchdog will kill loses the whole section's
+        remaining entries (r4 postmortem)."""
+        remaining = _DEADLINE_TS[0] - time.monotonic()
+        if remaining < TRAIN_MIN_BUDGET:
+            out[f"{name}_skipped"] = (
+                f"{remaining:.0f}s left < {TRAIN_MIN_BUDGET:.0f}s budget")
+            _progress(f"train.{name}", out[f"{name}_skipped"])
+            return False
+        return True
+
+    if not budget_ok("matching"):
+        return out
     # matching: batch 1 at 768^2 (reference trains exactly this shape)
     mcfg = MatchingConfig()
     params = jax.jit(lambda k: rmi.init_params(k, mcfg))(jax.random.PRNGKey(0))
@@ -448,7 +475,10 @@ def bench_train():
         float(metrics["cls_loss"])
     out["matching_sec_per_step"] = round(timed_steps(m_step), 4)
     _progress("train.matching_sec_per_step", out["matching_sec_per_step"])
+    _emit_provisional()
 
+    if not budget_ok("fg_gan"):
+        return out
     # FG GAN: batch 2 at 192^2 (reference default)
     fcfg = FGGanConfig()
     fstate = [create_fg_gan_state(jax.random.PRNGKey(1), fcfg)]
@@ -474,7 +504,10 @@ def bench_train():
         float(metrics["loss_g"])
     out["fg_gan_sec_per_iter"] = round(timed_steps(f_step), 4)
     _progress("train.fg_gan_sec_per_iter", out["fg_gan_sec_per_iter"])
+    _emit_provisional()
 
+    if not budget_ok("bg_gan"):
+        return out
     # BG GAN: batch 1 at 768^2 (reference default)
     bcfg = BGGanConfig()
     bstate = [create_bg_gan_state(jax.random.PRNGKey(3), bcfg)]

@@ -170,6 +170,8 @@ class MatchingEngine:
 class FGColorizeEngine:
     """FG MRU-GAN generator at 192x192 (``fg_color_utils.py:253-265``)."""
 
+    MAX_GAN_ROWS = 128      # largest fused prepare+forward batch (HBM bound)
+
     def __init__(self, cfg: FGGanConfig, g_params: Dict[str, Any],
                  vocab: Dict[str, int], seed: int = 0):
         self.cfg = cfg
@@ -215,27 +217,6 @@ class FGColorizeEngine:
                             noise)
         return np.asarray(out)
 
-    def _build_batched(self):
-        """K instances in ONE device call.  Inside a per-sample-stats scope
-        the batch-stats BN reduces per sample, so a stacked batch-K forward
-        equals K batch-1 calls (the reference only ever runs batch 1 at
-        inference, ``fg_color_utils.py:330-333``); the [-1,1]->uint8
-        conversion also happens on device (4x smaller host fetch)."""
-        from ..ops.norm import per_sample_stats_scope
-        from ..train.fg_gan import build_models
-        cfg = self.cfg
-        gen, _ = build_models(cfg)
-
-        @jax.jit
-        def forward(g_params, sketches, tokens, labels, noise):
-            with per_sample_stats_scope(), compute_dtype_scope(cfg.compute_dtype):
-                out = gen.apply({"params": g_params}, sketches, tokens,
-                                labels, noise)
-            # float -> uint8 truncation, matching np.ndarray.astype
-            return (((out.astype(jnp.float32) + 1.0) / 2.0) * 255.0
-                    ).astype(jnp.uint8)
-        self._forward_batched = forward
-
     def colorize_batch(self, instance_sketches: np.ndarray,
                        class_ids25: Sequence[int], text: str) -> np.ndarray:
         """[-1,1] float32 [K,S,S,3] sketches + one instruction -> uint8
@@ -254,8 +235,8 @@ class FGColorizeEngine:
                                         tokens_rows)
         return np.asarray(out[:k])
 
-    def _build_prepare(self):
-        """One jitted dispatch for the whole per-pass input build: the FG
+    def _prepare_fn(self):
+        """The whole per-pass input build as one traced function: the FG
         noise chain (bit-identical to k sequential ``jax.random.split`` +
         ``normal(nk, (1, nd))`` draws -- asserted in
         ``tests/test_pipeline_serving.py``), the row stack, and the
@@ -287,7 +268,36 @@ class FGColorizeEngine:
                     [tok, jnp.zeros((pad, tok.shape[1]), jnp.int32)])
                 ids = jnp.concatenate([ids, jnp.zeros((pad,), jnp.int32)])
             return x, tok, ids, noise, new_rng
-        self._prepare = jax.jit(prepare, static_argnames=("bucket",))
+        return prepare
+
+    def _build_prepare(self):
+        self._prepare = jax.jit(self._prepare_fn(),
+                                static_argnames=("bucket",))
+
+    def _build_prepare_forward(self):
+        """Input build + batched generator forward in ONE jitted dispatch
+        (each tunnel dispatch costs 3-150 ms; a segmented stream run pays
+        one per segment instead of two).  Inside a per-sample-stats scope
+        the batch-stats BN reduces per sample, so a stacked batch-K forward
+        equals K batch-1 calls (the reference only ever runs batch 1 at
+        inference, ``fg_color_utils.py:330-333``); the [-1,1]->uint8
+        conversion (numpy-astype truncation semantics) also happens on
+        device -- a 4x smaller fetch when anything does fetch it."""
+        from ..ops.norm import per_sample_stats_scope
+        from ..train.fg_gan import build_models
+        cfg = self.cfg
+        gen, _ = build_models(cfg)
+        prepare = self._prepare_fn()
+
+        def prep_fwd(g_params, rng, rows, tokens, labels, *, bucket):
+            x, tok, ids, noise, new_rng = prepare(rng, rows, tokens, labels,
+                                                  bucket=bucket)
+            with per_sample_stats_scope(), compute_dtype_scope(cfg.compute_dtype):
+                out = gen.apply({"params": g_params}, x, tok, ids, noise)
+            out_u8 = (((out.astype(jnp.float32) + 1.0) / 2.0) * 255.0
+                      ).astype(jnp.uint8)
+            return out_u8, new_rng
+        self._prep_fwd = jax.jit(prep_fwd, static_argnames=("bucket",))
 
     def colorize_rows_dev(self, instance_sketches,
                           class_ids25: Sequence[int],
@@ -302,14 +312,26 @@ class FGColorizeEngine:
         ``instance_sketches`` is a stacked [K, S, S, 3] array OR a sequence
         of K per-row arrays; per-row DEVICE arrays (the session's instance
         row cache) skip the host->device upload entirely."""
-        if not hasattr(self, "_forward_batched"):
-            self._build_batched()
-        if not hasattr(self, "_prepare"):
-            self._build_prepare()
+        if not hasattr(self, "_prep_fwd"):
+            self._build_prepare_forward()
         k = len(class_ids25)
         rows = (tuple(instance_sketches[i] for i in range(k))
                 if isinstance(instance_sketches, np.ndarray)
                 else tuple(instance_sketches))
+        # the fused prepare+forward at bucket >= 160 exhausts HBM in a
+        # loaded serving process (r4: reproducible RESOURCE_EXHAUSTED at
+        # 224 while 128 runs fine); above MAX_GAN_ROWS run the same noise
+        # chain in row-order chunks and concatenate the uint8 outputs on
+        # device (25 MB per 128 rows -- negligible)
+        if k > self.MAX_GAN_ROWS:
+            outs = []
+            for start in range(0, k, self.MAX_GAN_ROWS):
+                end = min(start + self.MAX_GAN_ROWS, k)
+                out_c, _ = self.colorize_rows_dev(
+                    rows[start:end], list(class_ids25[start:end]),
+                    np.asarray(tokens_rows[start:end], np.int32))
+                outs.append(out_c[: end - start])
+            return jnp.concatenate(outs), k
         # pow2 buckets up to 32, then multiples of 32: a 216-row stream run
         # pads to 224 instead of 256 (the GAN forward is the device floor at
         # ~1.1 ms/row, so pad rows are pure waste); still a bounded jit cache
@@ -319,10 +341,10 @@ class FGColorizeEngine:
                 bucket *= 2
         else:
             bucket = ((k + 31) // 32) * 32
-        x, tok, ids, noise, self._rng = self._prepare(
-            self._rng, rows, np.asarray(tokens_rows, np.int32),
+        out, self._rng = self._prep_fwd(
+            self.g_params, self._rng, rows,
+            np.asarray(tokens_rows, np.int32),
             np.asarray(class_ids25, np.int32), bucket=bucket)
-        out = self._forward_batched(self.g_params, x, tok, ids, noise)
         return out, k
 
 

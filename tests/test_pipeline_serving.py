@@ -89,6 +89,44 @@ def test_fg_colorize_batch_matches_sequential_loop():
         assert (diff > 0).mean() < 0.01
 
 
+def test_colorize_rows_dev_chunking_matches_single_call():
+    """Above MAX_GAN_ROWS the fused prepare+forward runs in row-order
+    chunks (HBM cap); outputs and the advanced rng must equal the single
+    call's."""
+    from sketchyscenecolorization_tpu.config import FGGanConfig
+    from sketchyscenecolorization_tpu.pipeline.engines import FGColorizeEngine
+    from sketchyscenecolorization_tpu.train.fg_gan import build_models
+    cfg = FGGanConfig(image_size=32, vocab_size=12, max_len=6,
+                      base_channels=8, num_classes=5, noise_dim=8)
+    gen, _ = build_models(cfg)
+    s = cfg.image_size
+    params = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, s, s, 3), jnp.float32),
+                      jnp.zeros((1, cfg.max_len), jnp.int32),
+                      jnp.zeros((1,), jnp.int32),
+                      jnp.zeros((1, cfg.noise_dim), jnp.float32))["params"]
+    vocab = {"<pad>": 0, "<unk>": 1, "red": 2}
+    rng = np.random.RandomState(0)
+    sketches = rng.uniform(-1, 1, (5, s, s, 3)).astype(np.float32)
+    ids = [1, 4, 2, 0, 3]
+    toks = rng.randint(0, cfg.vocab_size, (5, cfg.max_len)).astype(np.int32)
+
+    one = FGColorizeEngine(cfg, params, vocab, seed=7)
+    chunked = one.fork(seed=7)
+    chunked.MAX_GAN_ROWS = 2              # instance attr shadows the class's
+    a, ka = one.colorize_rows_dev(sketches, ids, toks)
+    b, kb = chunked.colorize_rows_dev(sketches, ids, toks)
+    assert ka == kb == 5
+    # different bucket shapes reduce the per-sample BN stats in different
+    # float orders -- the same documented <=1 uint8 LSB caveat as batching
+    # itself (engines._build_prepare_forward docstring)
+    diff = np.abs(np.asarray(a)[:5].astype(int) - np.asarray(b)[:5].astype(int))
+    assert diff.max() <= 1 and (diff != 0).mean() < 1e-3, \
+        (diff.max(), (diff != 0).sum())
+    np.testing.assert_array_equal(np.asarray(one._rng),
+                                  np.asarray(chunked._rng))
+
+
 def test_prepare_noise_matches_eager_split_chain():
     """The jitted one-dispatch input build (``FGColorizeEngine._prepare``)
     must reproduce the EXACT eager per-row chain it replaced: k sequential
