@@ -303,18 +303,23 @@ class ColorizationSession:
     @staticmethod
     def _reconstruct(state: _ImageState, prev: np.ndarray,
                      patch_np: np.ndarray, inst_indices: Sequence[int],
-                     offset: int) -> Tuple[np.ndarray, int]:
+                     offset: int, apply_overlay: bool = True
+                     ) -> Tuple[np.ndarray, int]:
         """Rebuild one pass's canvas from the previous canvas + the compact
         changed-pixel patch (``DeviceCompositor.composite_run_compact``).
         Exact by construction: the device pass touches only the instances'
         ``inner_mask`` pixels (patched here with post-overlay values) and the
         stroke-overlay pixels (a host-known constant, applied first so a
         pixel in both sets takes the patch's -- i.e. the device's -- value
-        ... which is the same overlay value).  Returns (canvas, new offset)."""
+        ... which is the same overlay value).  The overlay is idempotent, so
+        callers pass ``apply_overlay=False`` when ``prev`` is itself a saved
+        result (every FG/BG result ends with the overlay; only the raw
+        sketch lacks it).  Returns (canvas, new offset)."""
         new = prev.copy()
         flat = new.reshape(-1, 3)
-        ov_idx, ov_val = state.overlay_flat()
-        flat[ov_idx] = ov_val
+        if apply_overlay:
+            ov_idx, ov_val = state.overlay_flat()
+            flat[ov_idx] = ov_val
         comp_dev = state.get_compositor()
         for inst_idx in inst_indices:
             idx = comp_dev.host_idx(inst_idx)
@@ -521,7 +526,8 @@ class ColorizationSession:
             if patch_list is not None:
                 new_result, _ = self._reconstruct(
                     state, prev_host, np.asarray(patch_list[m]),
-                    inst_indices, 0)
+                    inst_indices, 0,
+                    apply_overlay=(m == 0 and last_name == ""))
                 prev_host = new_result
                 if m == n_ok - 1:
                     state.last_result_dev = (new_name, final_canvas)
@@ -636,7 +642,8 @@ class ColorizationSession:
                     canvas, gen_dev, [(tuple(inst_indices), 0)])
                 new_result, _ = self._reconstruct(
                     state, self._load_base(state, results_dir, last_name),
-                    np.asarray(patches_dev[0]), inst_indices, 0)
+                    np.asarray(patches_dev[0]), inst_indices, 0,
+                    apply_overlay=(last_name == ""))
             else:
                 canvas = compositor.composite(canvas, gen_dev,
                                               list(inst_indices))
