@@ -2,9 +2,11 @@
 
 The headline number times the FULL interactive pipeline on the reference's
 own fixture (sketch 9996), reporting the best full-pipeline serving config
-(sequential ``colorize`` vs ``colorize_stream`` request batching -- both
-byte-identical outputs+records; ``detail.headline_config`` says which won,
-both medians are in detail): ``ColorizationSession.colorize`` end-to-end --
+(sequential ``colorize`` vs ``colorize_stream`` request batching -- same
+records byte-for-byte; images equal up to the batched-BN GAN bucket-size
+reduction-order caveat in ``pipeline/session.py``'s header, <= 7 u8 units
+on TPU; ``detail.headline_config`` says which won, both medians are in
+detail): ``ColorizationSession.colorize`` end-to-end --
 RMI referring segmentation at 768^2, device-side instance scoring
 (``get_pred_instance_mask`` semantics), per-instance crop/resize, the FG
 MRU-GAN forward for EVERY matched instance, un-resize, inner-mask paste and

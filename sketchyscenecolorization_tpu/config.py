@@ -197,6 +197,14 @@ class PipelineConfig:
                                          # compute; 0 = one segment (noise
                                          # chain & outputs identical either
                                          # way -- tested)
+    stage_trace: bool = False            # record (label, t0, t1) wall-clock
+                                         # events for every serving stage
+                                         # (dispatches, tunnel waits, host
+                                         # reconstruction, PNG fetch/encode)
+                                         # into session.trace_events -- the
+                                         # per-stage breakdown behind
+                                         # PARITY.md's serving tables; ~50 ns
+                                         # per event, zero cost when off
     # serving memory bounds (the reference tears its graphs down per command,
     # fg_matching_utils.py:29-38, so it never accumulates state; the cached
     # redesign must not leak either).  0 = unbounded.

@@ -86,10 +86,11 @@ class AsyncPngWriter:
     ``flush`` so failures are not silent.
     """
 
-    def __init__(self, workers: Optional[int] = None):
+    def __init__(self, workers: Optional[int] = None, trace=None):
         if workers is None:
             workers = 1 if (os.cpu_count() or 1) <= 1 else 2
         self._queues = [queue.Queue() for _ in range(max(1, workers))]
+        self._trace = trace     # optional shared (label, t0, t1) event list
         self._error: Optional[BaseException] = None
         self._threads = [
             threading.Thread(target=self._run, args=(q,), daemon=True)
@@ -104,7 +105,18 @@ class AsyncPngWriter:
                 if job is None:
                     return
                 path, arr, level = job
-                write_png(path, np.asarray(arr), level)
+                if self._trace is None:
+                    write_png(path, np.asarray(arr), level)
+                else:
+                    import time
+                    t0 = time.perf_counter()
+                    host = np.asarray(arr)
+                    t1 = time.perf_counter()
+                    if not isinstance(arr, np.ndarray):
+                        self._trace.append(("png_fetch", t0, t1))
+                    write_png(path, host, level)
+                    self._trace.append(
+                        ("png_encode", t1, time.perf_counter()))
             except BaseException as e:   # noqa: BLE001 - surfaced on flush
                 self._error = e
             finally:

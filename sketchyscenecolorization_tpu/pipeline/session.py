@@ -39,8 +39,16 @@ command):
 All of this is output-preserving: goldens and the record/withdraw state
 machine match the sequential formulation (``tests/test_pipeline_serving.py``).
 Exact equality caveat: the batched per-sample-BN GAN forward is equal to K
-sequential batch-1 calls only up to float reduction order (<= 1 uint8 LSB);
-matching scores, records and compositing are byte-identical.
+sequential batch-1 calls only up to XLA's batch-size-dependent float
+reduction order, amplified by the generator's batch-stats BN stack.
+Measured on fixture 9996 (18 instances, identical rows, bucket 32 vs 64):
+<= 1 uint8 LSB on ~0.01% of values on XLA:CPU, <= 7 units on TPU v5e.
+Same-bucket replays are bitwise deterministic on both platforms, and
+matching scores, records and compositing are byte-identical always;
+``colorize_stream`` vs sequential ``colorize`` differs exactly by this
+caveat (buckets 32*ceil(K/32) vs per-pass) and nothing else --
+characterized in ``tests/test_e2e_reference_examples.py``, PARITY.md
+"Known deltas".
 
 Memory is bounded for long-running serving: the per-image cache is LRU
 (``PipelineConfig.max_cached_images``) and each image's prepared-instance
@@ -52,6 +60,7 @@ from __future__ import annotations
 
 import atexit
 import os
+import time
 from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -212,7 +221,12 @@ class ColorizationSession:
         self.fg = fg
         self.bg = bg
         self._images: "OrderedDict[str, _ImageState]" = OrderedDict()
-        self._writer = AsyncPngWriter() if cfg.pipeline.async_png_writes else None
+        # opt-in per-stage wall-clock tracing (PipelineConfig.stage_trace):
+        # the writer threads append into the same list (list.append is
+        # atomic under the GIL), so one timeline covers both sides
+        self._tr: Optional[list] = [] if cfg.pipeline.stage_trace else None
+        self._writer = AsyncPngWriter(trace=self._tr) \
+            if cfg.pipeline.async_png_writes else None
         if self._writer is not None:
             # a process exit must never strand queued write-behind PNGs after
             # their records have committed (records point at missing files)
@@ -298,7 +312,10 @@ class ColorizationSession:
         if state.last_result_dev is not None \
                 and state.last_result_dev[0] == last_name:
             return state.last_result_dev[1]
-        return jnp.asarray(self._load_base(state, results_dir, last_name))
+        t0 = time.perf_counter()
+        dev = jnp.asarray(self._load_base(state, results_dir, last_name))
+        self._tt("canvas_upload", t0)
+        return dev
 
     @staticmethod
     def _reconstruct(state: _ImageState, prev: np.ndarray,
@@ -326,6 +343,23 @@ class ColorizationSession:
             flat[idx] = patch_np[offset: offset + len(idx)]
             offset += len(idx)
         return new, offset
+
+    # ------------------------------------------------------------- tracing
+    def _tt(self, label: str, t0: float) -> None:
+        """Record one stage event [t0, now) when ``stage_trace`` is on."""
+        if self._tr is not None:
+            self._tr.append((label, t0, time.perf_counter()))
+
+    @property
+    def trace_events(self) -> List[Tuple[str, float, float]]:
+        """(label, t_start, t_end) ``time.perf_counter`` events, in append
+        order, main thread and PNG workers interleaved.  Empty unless
+        ``PipelineConfig.stage_trace``."""
+        return list(self._tr or ())
+
+    def clear_trace(self) -> None:
+        if self._tr is not None:
+            del self._tr[:]
 
     def flush(self) -> None:
         """Block until all write-behind PNGs are on disk."""
@@ -404,13 +438,16 @@ class ColorizationSession:
     def _colorize_fg_run(self, image_id, run_texts: Sequence[str]) -> List[str]:
         state = self._state(image_id)
         instance_size = self.cfg.pipeline.instance_size
+        t0 = time.perf_counter()
         matched = self._match_many(state, run_texts)
+        self._tt("match", t0)
 
         # validate + prepare per pass in order; the first failing pass stops
         # the run (earlier passes still commit, like sequential execution)
         device_comp = self.cfg.pipeline.device_compositing
         error: Optional[BaseException] = None
         n_ok = len(run_texts)
+        t0 = time.perf_counter()
         rows, row_class_ids, row_tokens, plans = [], [], [], []
         for p, text in enumerate(run_texts):
             inst_color_text = segment_user_input_text(text)
@@ -437,6 +474,7 @@ class ColorizationSession:
                     comp.SKE_ID_TO_CAT_ID[int(state.pred_class_ids[inst_idx])])
                 row_tokens.append(toks)
             plans.append((text, matched[p]))
+        self._tt("prep_rows", t0)
 
         results_dir = self._results_dir(image_id)
         compact = self.cfg.pipeline.compact_fetch
@@ -480,6 +518,7 @@ class ColorizationSession:
                 row_start = 0
                 for s0, s1 in bounds:
                     n_seg = sum(pass_rows[s0:s1])
+                    t0 = time.perf_counter()
                     if n_seg:
                         seg_gen, _ = self.fg.colorize_rows_dev(
                             rows[row_start: row_start + n_seg],
@@ -490,14 +529,17 @@ class ColorizationSession:
                     else:
                         s = self.cfg.pipeline.instance_size
                         seg_gen = jnp.zeros((1, s, s, 3), jnp.uint8)
+                    self._tt(f"gan_dispatch[{n_seg}]", t0)
                     seg_passes, off = [], 0
                     for m in range(s0, s1):
                         seg_passes.append((tuple(plans[m][1]), off))
                         off += pass_rows[m]
+                    t0 = time.perf_counter()
                     canvas, plist = compositor.composite_run_compact(
                         canvas, seg_gen, seg_passes)
                     for p in plist:
                         p.copy_to_host_async()
+                    self._tt("comp_dispatch", t0)
                     patch_list.extend(plist)
                     row_start += n_seg
                 final_canvas = canvas
@@ -524,10 +566,15 @@ class ColorizationSession:
             new_name, last_name, last_bg_text, summary = fetch_records(
                 image_id, self.cfg.pipeline.results_base_dir)
             if patch_list is not None:
+                t0 = time.perf_counter()
+                patch_np = np.asarray(patch_list[m])
+                self._tt("patch_wait", t0)
+                t0 = time.perf_counter()
                 new_result, _ = self._reconstruct(
-                    state, prev_host, np.asarray(patch_list[m]),
+                    state, prev_host, patch_np,
                     inst_indices, 0,
                     apply_overlay=(m == 0 and last_name == ""))
+                self._tt("reconstruct", t0)
                 prev_host = new_result
                 if m == n_ok - 1:
                     state.last_result_dev = (new_name, final_canvas)
@@ -547,12 +594,14 @@ class ColorizationSession:
                 new_result[state.drawings_region] = \
                     state.moved[state.drawings_region]
             out_path = os.path.join(results_dir, new_name)
+            t0 = time.perf_counter()
             self._save_result(out_path, new_result,
                               copy=patch_list is None)
             state.last_result = (new_name, new_result)
             update_records(image_id, text,
                            self.cfg.pipeline.results_base_dir, "FG",
                            new_name, last_bg_text, summary)
+            self._tt("save+records", t0)
             out_paths.append(out_path)
         if error is not None:
             raise error
@@ -699,10 +748,14 @@ class ColorizationSession:
             # equivalent (changed pixels = everything outside the FG mask)
             compositor = state.get_compositor()
             base = self._canvas_dev(state, results_dir, last_name)
+            t0 = time.perf_counter()
             bg_dev = self.bg.colorize_composited(
                 base, compositor._inner, compositor._moved,
                 compositor._drawings, proc_text)
+            self._tt("bg_dispatch", t0)
+            t0 = time.perf_counter()
             background = np.asarray(bg_dev)
+            self._tt("bg_canvas_fetch", t0)
             # fg debug image from host-known state (no extra fetch)
             fg_image_temp = comp.extract_foreground(previous, inner_mask)
             if not self.cfg.pipeline.color_gradient:
@@ -726,10 +779,14 @@ class ColorizationSession:
                           fg_image_temp)
 
         if self.cfg.pipeline.color_gradient:
+            t0 = time.perf_counter()
             background = comp.add_color_gradient(background, inner_mask)
             background[drawings_region] = moved[drawings_region]
+            self._tt("bg_gradient", t0)
 
         out_path = os.path.join(results_dir, new_name)
+        t0 = time.perf_counter()
         self._save_result(out_path, background)
         state.last_result = (new_name, background)
+        self._tt("bg_save", t0)
         return out_path, proc_text

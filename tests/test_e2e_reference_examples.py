@@ -71,3 +71,47 @@ def test_full_pipeline_on_reference_examples(tmp_path):
     # few-unit pixel shifts; a *content* change (different base image or
     # color) moves this crop by tens of units
     assert np.abs(crop3.astype(int) - g["bg_crop"].astype(int)).mean() < 6.0
+
+
+@pytest.mark.skipif(not RUN, reason="set RUN_E2E=1 (minutes of CPU compile)")
+def test_stream_vs_sequential_full_res_characterization(tmp_path):
+    """Characterize the ONLY stream-vs-sequential delta at full resolution:
+    the batched per-sample-BN GAN forward's bucket-size reduction order
+    (session.py header, PARITY.md "Known deltas").  Sequential buckets each
+    pass at 32; a 3-instruction stream run buckets all 54 rows at 64 -- r4
+    measured <=1 u8 LSB on ~0.01% of canvas pixels on XLA:CPU (<=7 units on
+    TPU v5e).  Everything outside the instances' inner masks -- records,
+    overlay, reconstruction -- must be byte-identical."""
+    import dataclasses
+    from sketchyscenecolorization_tpu.config import FrameworkConfig, PipelineConfig
+    from sketchyscenecolorization_tpu.pipeline.factory import build_session
+
+    texts = ["the bus is yellow with gray windows",
+             "the road is dark gray", "the tree is green"]
+
+    def run(sub, stream):
+        cfg = dataclasses.replace(FrameworkConfig(), pipeline=PipelineConfig(
+            data_base_dir=EXAMPLES,
+            results_base_dir=str(tmp_path / sub),
+            match_vocab_path="", fg_vocab_path="", bg_vocab_path="",
+            match_ckpt_dir="", fg_ckpt_dir="", bg_ckpt_dir=""))
+        session = build_session(cfg, seed=0)
+        paths = (session.colorize_stream(9996, texts) if stream
+                 else [session.colorize(9996, t) for t in texts])
+        session.flush()
+        state = session._state(9996)
+        return [np.array(Image.open(p)) for p in paths], state.inner_mask
+
+    seq_imgs, inner = run("seq", stream=False)
+    stream_imgs, _ = run("stream", stream=True)
+    for a, b in zip(seq_imgs, stream_imgs):
+        d = np.abs(a.astype(int) - b.astype(int))
+        assert d.max() <= 1, d.max()                    # XLA:CPU bound
+        assert (d > 0).any(axis=-1).sum() < 1000        # ~0.01% of pixels
+        # outside the instance masks: byte-identical
+        assert d[inner == 0].max() == 0
+    rec_a = json.load(open(tmp_path / "seq" / "update_records"
+                           / "9996_records.json"))
+    rec_b = json.load(open(tmp_path / "stream" / "update_records"
+                           / "9996_records.json"))
+    assert rec_a == rec_b
