@@ -197,6 +197,26 @@ class PipelineConfig:
                                          # compute; 0 = one segment (noise
                                          # chain & outputs identical either
                                          # way -- tested)
+    fused_gan_compositing: bool = True   # with compact_fetch: inline the FG
+                                         # GAN prepare+forward INTO the
+                                         # compositing program so a stream
+                                         # segment is ONE tunnel dispatch
+                                         # (each costs 3-150 ms); same noise
+                                         # chain/bucket policy, falls back to
+                                         # the two-dispatch path for
+                                         # segments > MAX_GAN_ROWS
+    device_color_gradient: bool = True   # with device_compositing +
+                                         # color_gradient at LUT scale: run
+                                         # the sky gradient's LUT round-trip
+                                         # + sky detection on device and keep
+                                         # the canvas device-resident; only
+                                         # the ramp rows round-trip to host
+                                         # for the exact float64 HSV math
+                                         # (byte-equal; PNG fetch goes
+                                         # write-behind).  Falls back to the
+                                         # host gradient below LUT scale or
+                                         # when the sky band is fully FG
+                                         # (preserving the reference's error)
     stage_trace: bool = False            # record (label, t0, t1) wall-clock
                                          # events for every serving stage
                                          # (dispatches, tunnel waits, host

@@ -284,21 +284,15 @@ def _rgb_roundtrip_lut() -> np.ndarray:
     return _ROUNDTRIP_LUT
 
 
-def add_color_gradient(color_image: np.ndarray, inner_mask: np.ndarray,
-                       search_height: int = 2, search_from: int = 5) -> np.ndarray:
-    """HSV sky gradient (``bg_utils.py:96-166``): find the dominant sky color
-    near the top, locate the sky bottom, then ramp S down to S/3 and V up to
-    min(1, 1.5V) from 3/4 of the sky height to the top.  The reference's
-    per-row Python loops are vectorized, and the float64 HSV math runs only
-    on the rows the ramp modifies -- all rows below ``start_height`` are the
-    bare round-trip, served from ``_rgb_roundtrip_lut`` at full size
-    (byte-equal by construction; asserted in ``tests/test_pipeline.py``)."""
-    img_h, img_w = color_image.shape[:2]
-    img_bg = np.full(color_image.shape, 255, dtype=np.uint8)
-    img_bg[inner_mask == 0] = color_image[inner_mask == 0]
-
-    # 1. dominant color in the search band (non-FG region); ties break by
-    # first occurrence in row-major order, as in the reference
+def detect_sky(img_bg: np.ndarray, inner_mask: np.ndarray,
+               search_height: int = 2, search_from: int = 5):
+    """(sky_color, sky_bottom) of the gradient (``bg_utils.py:105-128``):
+    dominant color in the search band over non-FG pixels (ties break by
+    first occurrence in row-major order -- the reference's dict-insertion
+    scan), then the lowest row <= H/2 containing it (-1 if none; callers
+    assert).  Raises the reference's ``ValueError`` (argmax of empty) when
+    the band is fully FG.  Device twin: ``engines.sky_detect_trace``."""
+    img_h = img_bg.shape[0]
     band = img_bg[search_from: search_from + search_height]
     band_mask = inner_mask[search_from: search_from + search_height] == 0
     flat = band.reshape(-1, 3)
@@ -314,22 +308,30 @@ def add_color_gradient(color_image: np.ndarray, inner_mask: np.ndarray,
         count_map[rgb] += 1
     sky_color = list(seen[int(np.argmax([count_map[c] for c in seen]))])
 
-    # 2. sky bottom: lowest row (scanning up from mid) containing sky_color
     sky_bottom = -1
     target = np.array(sky_color, dtype=np.uint8)
     for i in range(int(img_h / 2), -1, -1):
         if (img_bg[i] == target).all(axis=1).any():
             sky_bottom = i
             break
-    assert sky_bottom != -1
+    return sky_color, sky_bottom
 
-    # 3. HSV ramp -- real HSV math on rows [0, start_height] (their S/V are
-    # replaced), the identity round-trip for everything below
+
+def sky_ramp_rows(img_bg_top: np.ndarray, sky_color, sky_bottom: int
+                  ) -> np.ndarray:
+    """The gradient's ramp block: rows [0, start_height] of
+    ``add_color_gradient``'s output, exactly (float64 HSV, S ramped to S/3,
+    V to min(1, 1.5V), ``bg_utils.py:137-158``).  ``img_bg_top`` is the
+    FG-whitened image's top rows (>= start_height+1 of them) -- shared by
+    the host gradient below and the device-gradient serving path
+    (``session.colorize_background``), which fetches only these rows and
+    computes the identical bytes on host."""
     start_height = int(sky_bottom / 4 * 3)
-    sky_hsv = rgb2hsv((np.array(sky_color, np.float32) / 255.0)[None, None, :])[0][0]
+    sky_hsv = rgb2hsv(
+        (np.array(sky_color, np.float32) / 255.0)[None, None, :])[0][0]
     end_s = sky_hsv[1] / 3.0
     end_v = min(1.0, sky_hsv[2] * 1.5)
-    hsv = rgb2hsv(img_bg[:start_height + 1] / 255.0)
+    hsv = rgb2hsv(img_bg_top[:start_height + 1] / 255.0)
     if start_height > 0:
         rows = np.arange(start_height, -1, -1)
         frac = (start_height - rows) / start_height
@@ -338,9 +340,31 @@ def add_color_gradient(color_image: np.ndarray, inner_mask: np.ndarray,
     else:
         hsv[0, :, 1] = sky_hsv[1]
         hsv[0, :, 2] = sky_hsv[2]
+    return (hsv2rgb(hsv) * 255.0).astype(np.uint8)
 
+
+def add_color_gradient(color_image: np.ndarray, inner_mask: np.ndarray,
+                       search_height: int = 2, search_from: int = 5) -> np.ndarray:
+    """HSV sky gradient (``bg_utils.py:96-166``): find the dominant sky color
+    near the top, locate the sky bottom, then ramp S down to S/3 and V up to
+    min(1, 1.5V) from 3/4 of the sky height to the top.  The reference's
+    per-row Python loops are vectorized, and the float64 HSV math runs only
+    on the rows the ramp modifies -- all rows below ``start_height`` are the
+    bare round-trip, served from ``_rgb_roundtrip_lut`` at full size
+    (byte-equal by construction; asserted in ``tests/test_pipeline.py``)."""
+    img_h, img_w = color_image.shape[:2]
+    img_bg = np.full(color_image.shape, 255, dtype=np.uint8)
+    img_bg[inner_mask == 0] = color_image[inner_mask == 0]
+
+    sky_color, sky_bottom = detect_sky(img_bg, inner_mask,
+                                       search_height, search_from)
+    assert sky_bottom != -1
+
+    # 3. HSV ramp -- real HSV math on rows [0, start_height] (their S/V are
+    # replaced), the identity round-trip for everything below
+    start_height = int(sky_bottom / 4 * 3)
     img_grad = np.empty_like(img_bg)
-    img_grad[:start_height + 1] = (hsv2rgb(hsv) * 255.0).astype(np.uint8)
+    img_grad[:start_height + 1] = sky_ramp_rows(img_bg, sky_color, sky_bottom)
     rest = img_bg[start_height + 1:]
     if rest.size // 3 >= _LUT_MIN_PIXELS:
         codes = ((rest[..., 0].astype(np.int32) << 16)

@@ -148,6 +148,61 @@ class DeviceCompositor:
                 self._programs.popitem(last=False)
         return fn(canvas_dev, gen_dev)
 
+    def composite_run_compact_fused(self, fg_engine, canvas_dev, rows,
+                                    class_ids, tokens_rows,
+                                    passes: Sequence[Tuple[Tuple[int, ...],
+                                                           int]]):
+        """``composite_run_compact`` with the FG engine's prepare+forward
+        (noise chain, row stack, pad, batched MRU generator, uint8 quantize)
+        INLINED ahead of the compositing body: a whole stream segment --
+        GAN inputs to changed-pixel patches -- is ONE device program, one
+        tunnel dispatch (vs two; each costs 3-150 ms).  The noise chain,
+        bucket policy and per-sample-BN semantics are exactly
+        ``FGColorizeEngine.colorize_rows_dev``'s (same ``prep_fwd_fn``
+        body, same ``bucket_for``); the engine's rng advances identically.
+        Caller guarantees ``len(rows) <= fg_engine.MAX_GAN_ROWS`` (the
+        fused program at bucket >= 160 exhausts HBM -- engines.py).
+        Returns ``(final_canvas, patches)``."""
+        import numpy as np_mod
+        k = len(class_ids)
+        assert 0 < k <= fg_engine.MAX_GAN_ROWS
+        bucket = fg_engine.bucket_for(k)
+        pass_key = tuple((tuple(p), off) for p, off in passes)
+        key = ("fused", pass_key, bucket, k)
+        fn = self._programs.get(key)
+        if fn is not None:
+            self._programs.move_to_end(key)
+        else:
+            fn = self._build_run_compact_fused(pass_key, fg_engine, bucket)
+            self._programs[key] = fn
+            while len(self._programs) > _MAX_PROGRAMS:
+                self._programs.popitem(last=False)
+        canvas, patches, fg_engine._rng = fn(
+            fg_engine.g_params, fg_engine._rng, tuple(rows),
+            np_mod.asarray(tokens_rows, np_mod.int32),
+            np_mod.asarray(class_ids, np_mod.int32), canvas_dev)
+        return canvas, patches
+
+    def _build_run_compact_fused(self, passes, fg_engine, bucket: int):
+        metas_per_pass = [self._metas(p, off) for p, off in passes]
+        idx_per_pass = [[self._dev_idx(i) for i in p] for p, _ in passes]
+        prep_fwd = fg_engine.prep_fwd_fn()
+
+        @jax.jit
+        def run(g_params, rng, rows, tokens, labels, canvas):
+            gen, new_rng = prep_fwd(g_params, rng, rows, tokens, labels,
+                                    bucket=bucket)
+            patches = []
+            for metas, idx_list in zip(metas_per_pass, idx_per_pass):
+                canvas = self._apply_pass(canvas, gen, metas)
+                flat = canvas.reshape(-1, 3)
+                gathered = [flat[idx] for idx in idx_list]
+                patches.append(jnp.concatenate(gathered) if gathered
+                               else jnp.zeros((0, 3), jnp.uint8))
+            return canvas, patches, new_rng
+
+        return run
+
     def _build_run_compact(self,
                            passes: Tuple[Tuple[Tuple[int, ...], int], ...]):
         metas_per_pass = [self._metas(p, off) for p, off in passes]

@@ -274,15 +274,18 @@ class FGColorizeEngine:
         self._prepare = jax.jit(self._prepare_fn(),
                                 static_argnames=("bucket",))
 
-    def _build_prepare_forward(self):
-        """Input build + batched generator forward in ONE jitted dispatch
-        (each tunnel dispatch costs 3-150 ms; a segmented stream run pays
-        one per segment instead of two).  Inside a per-sample-stats scope
-        the batch-stats BN reduces per sample, so a stacked batch-K forward
-        equals K batch-1 calls (the reference only ever runs batch 1 at
-        inference, ``fg_color_utils.py:330-333``); the [-1,1]->uint8
-        conversion (numpy-astype truncation semantics) also happens on
-        device -- a 4x smaller fetch when anything does fetch it."""
+    def prep_fwd_fn(self):
+        """The UNTRACED whole-segment body: input build (noise chain, row
+        stack, pad-to-bucket) + batched generator forward + uint8 quantize,
+        as one pure function ``(g_params, rng, rows, tokens, labels, *,
+        bucket) -> (out_u8, new_rng)``.  ``colorize_rows_dev`` jits it as a
+        standalone dispatch; ``DeviceCompositor.composite_run_compact_fused``
+        inlines it ahead of the compositing body so a stream segment is ONE
+        device program (each tunnel dispatch costs 3-150 ms).  Inside a
+        per-sample-stats scope the batch-stats BN reduces per sample, so a
+        stacked batch-K forward equals K batch-1 calls (the reference only
+        ever runs batch 1 at inference, ``fg_color_utils.py:330-333``) up to
+        the bucket-size reduction-order caveat (session.py header)."""
         from ..ops.norm import per_sample_stats_scope
         from ..train.fg_gan import build_models
         cfg = self.cfg
@@ -297,7 +300,24 @@ class FGColorizeEngine:
             out_u8 = (((out.astype(jnp.float32) + 1.0) / 2.0) * 255.0
                       ).astype(jnp.uint8)
             return out_u8, new_rng
-        self._prep_fwd = jax.jit(prep_fwd, static_argnames=("bucket",))
+        return prep_fwd
+
+    def _build_prepare_forward(self):
+        self._prep_fwd = jax.jit(self.prep_fwd_fn(),
+                                 static_argnames=("bucket",))
+
+    @staticmethod
+    def bucket_for(k: int) -> int:
+        """Pad-to bucket: pow2 up to 32, then multiples of 32 (a 216-row
+        stream run pads to 224 instead of 256; the GAN forward is the device
+        floor at ~1.1 ms/row, so pad rows are pure waste) -- still a bounded
+        jit cache."""
+        if k <= 32:
+            bucket = 1
+            while bucket < k:
+                bucket *= 2
+            return bucket
+        return ((k + 31) // 32) * 32
 
     def colorize_rows_dev(self, instance_sketches,
                           class_ids25: Sequence[int],
@@ -332,20 +352,42 @@ class FGColorizeEngine:
                     np.asarray(tokens_rows[start:end], np.int32))
                 outs.append(out_c[: end - start])
             return jnp.concatenate(outs), k
-        # pow2 buckets up to 32, then multiples of 32: a 216-row stream run
-        # pads to 224 instead of 256 (the GAN forward is the device floor at
-        # ~1.1 ms/row, so pad rows are pure waste); still a bounded jit cache
-        if k <= 32:
-            bucket = 1
-            while bucket < k:
-                bucket *= 2
-        else:
-            bucket = ((k + 31) // 32) * 32
+        bucket = self.bucket_for(k)
         out, self._rng = self._prep_fwd(
             self.g_params, self._rng, rows,
             np.asarray(tokens_rows, np.int32),
             np.asarray(class_ids25, np.int32), bucket=bucket)
         return out, k
+
+
+def sky_detect_trace(img_bg, inner_i32):
+    """Traced twin of the host sky detection (``compositing.py:300-324``,
+    reproducing ``bg_utils.py:105-128``): dominant color of the rows-5:7
+    band over non-FG pixels (count, first-occurrence-in-row-major tie-break
+    -- the reference's dict-insertion scan), and the lowest row <= H/2
+    containing that color (-1 if none; the caller asserts).  Exact integer
+    logic, unit-tested against the host scan in
+    ``tests/test_pipeline_serving.py``."""
+    h, w = img_bg.shape[0], img_bg.shape[1]
+    band = jax.lax.slice(img_bg, (5, 0, 0), (7, w, 3)).reshape(-1, 3)
+    bmask = (jax.lax.slice(inner_i32, (5, 0), (7, w)) == 0).reshape(-1)
+    code = (band[:, 0].astype(jnp.int32) << 16) \
+        | (band[:, 1].astype(jnp.int32) << 8) \
+        | band[:, 2].astype(jnp.int32)
+    eqm = (code[:, None] == code[None, :]) & bmask[None, :]
+    n = code.shape[0]
+    counts = jnp.sum(eqm, axis=1)
+    first_masked = jnp.argmax(eqm, axis=1)          # first True index
+    elig = bmask & (first_masked == jnp.arange(n))
+    score = jnp.where(elig, counts * (2 * n) - jnp.arange(n), -1)
+    sky = band[jnp.argmax(score)]
+    # lowest row <= H/2 containing sky (the host scans int(H/2)..0 and
+    # stops at the first hit; max over matching indices is the same row)
+    half = h // 2
+    rows_eq = jnp.all(img_bg[: half + 1] == sky[None, None, :], axis=-1)
+    has = jnp.any(rows_eq, axis=1)
+    sky_bottom = jnp.max(jnp.where(has, jnp.arange(half + 1), -1))
+    return sky, sky_bottom
 
 
 class BGColorizeEngine:
@@ -389,32 +431,39 @@ class BGColorizeEngine:
                                     np.asarray(tokens, np.int32)[None])
         return np.array(out)[0], (np.array(region)[0] if want_region else None)
 
+    def _composited_body(self, gen, g_params, base_u8, inner_i32, moved_u8,
+                         drawings_b, tokens):
+        """Traced BG pass body: FG extraction (``bg_utils.py:219-226``),
+        GAN forward, FG paste-back and the stroke overlay
+        (``bg_utils.py:294-310``) -- shared by the plain composited program
+        and the device-gradient program."""
+        cfg = self.cfg
+        innerb = (inner_i32 != 0)[..., None]
+        fg = jnp.where(innerb, base_u8, jnp.uint8(255))
+        x = fg[None].astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        with compute_dtype_scope(cfg.compute_dtype):
+            result = gen.apply({"params": g_params}, x, tokens)
+        out = (result[0] if cfg.residual_enc_g else result) \
+            .astype(jnp.float32)
+        out_u8 = jnp.clip((out + 1.0) / 2.0 * 255.5, 0,
+                          255).astype(jnp.uint8)[0]
+        bg = jnp.where(innerb, fg, out_u8)
+        return jnp.where(drawings_b[..., None], moved_u8, bg)
+
     def _build_composited(self):
         """Whole BG pass in ONE dispatch on the device-resident canvas:
-        FG extraction (``bg_utils.py:219-226``), GAN forward, FG paste-back
-        and the stroke overlay (``bg_utils.py:294-310``) -- so the host
-        neither uploads the 768^2 FG composite nor runs the mask chain; one
-        canvas fetch remains (the HSV sky gradient is data-dependent host
-        work).  Byte-equal to the host chain
+        so the host neither uploads the 768^2 FG composite nor runs the
+        mask chain; one canvas fetch remains (the HSV sky gradient is
+        data-dependent host work -- or runs on device too, see
+        ``colorize_composited_gradient``).  Byte-equal to the host chain
         (``tests/test_pipeline_serving.py::test_device_compositing...``)."""
-        cfg = self.cfg
         from ..train.bg_gan import build_models
-        gen, _ = build_models(cfg)
+        gen, _ = build_models(self.cfg)
 
         @jax.jit
         def fwd(g_params, base_u8, inner_i32, moved_u8, drawings_b, tokens):
-            innerb = (inner_i32 != 0)[..., None]
-            fg = jnp.where(innerb, base_u8, jnp.uint8(255))
-            x = fg[None].astype(jnp.float32) / 255.0 * 2.0 - 1.0
-            with compute_dtype_scope(cfg.compute_dtype):
-                result = gen.apply({"params": g_params}, x, tokens)
-            out = (result[0] if cfg.residual_enc_g else result) \
-                .astype(jnp.float32)
-            out_u8 = jnp.clip((out + 1.0) / 2.0 * 255.5, 0,
-                              255).astype(jnp.uint8)[0]
-            bg = jnp.where(innerb, fg, out_u8)
-            bg = jnp.where(drawings_b[..., None], moved_u8, bg)
-            return bg
+            return self._composited_body(gen, g_params, base_u8, inner_i32,
+                                         moved_u8, drawings_b, tokens)
         self._forward_composited = fwd
 
     def colorize_composited(self, base_dev, inner_dev, moved_dev,
@@ -427,3 +476,81 @@ class BGColorizeEngine:
         return self._forward_composited(
             self.g_params, base_dev, inner_dev, moved_dev, drawings_dev,
             np.asarray(tokens, np.int32)[None])
+
+    # ------------------------------------------------- device sky gradient
+    def _lut_device(self):
+        """The 24-bit HSV round-trip table (``compositing._rgb_roundtrip_lut``,
+        exact by construction) as a device-resident [2^24, 3] uint8 array --
+        built/uploaded once per engine (~50 MB; prewarmed off the critical
+        path at session build)."""
+        if getattr(self, "_lut_dev", None) is None:
+            from . import compositing as comp
+            self._lut_dev = jnp.asarray(comp._rgb_roundtrip_lut())
+        return self._lut_dev
+
+    def _build_composited_gradient(self):
+        """D1 of the two-dispatch device gradient (``bg_utils.py:96-166``
+        semantics, split device/host for float64 exactness -- see
+        ``session.colorize_background``): the BG pass body, then on device:
+        FG-whitened ``img_bg``, dominant-sky-color detection over the
+        rows-5:7 band (count + first-occurrence tie-break over the non-FG
+        pixels, exactly the reference's dict-order scan), the lowest
+        sky-colored row in the top half, and the whole-image LUT round-trip.
+        Outputs: post-overlay canvas + LUT image (both device-resident),
+        the top ``int(H/2/4*3)+1`` rows of ``img_bg`` (fetched by the host
+        for the exact float64 ramp math), sky color and sky bottom."""
+        from ..train.bg_gan import build_models
+        gen, _ = build_models(self.cfg)
+
+        @jax.jit
+        def fwd(g_params, lut, base_u8, inner_i32, moved_u8, drawings_b,
+                tokens):
+            bg = self._composited_body(gen, g_params, base_u8, inner_i32,
+                                       moved_u8, drawings_b, tokens)
+            h, w = bg.shape[0], bg.shape[1]
+            innerb = (inner_i32 != 0)[..., None]
+            img_bg = jnp.where(innerb, jnp.uint8(255), bg)
+            sky, sky_bottom = sky_detect_trace(img_bg, inner_i32)
+            # whole-image LUT round-trip (rows above start_height get
+            # replaced by the host ramp in D2)
+            codes = (img_bg[..., 0].astype(jnp.int32) << 16) \
+                | (img_bg[..., 1].astype(jnp.int32) << 8) \
+                | img_bg[..., 2].astype(jnp.int32)
+            lut_img = lut[codes.reshape(-1)].reshape(h, w, 3)
+            max_ramp = int(h // 2 / 4 * 3) + 1
+            ramp_band = jax.lax.slice(img_bg, (0, 0, 0), (max_ramp, w, 3))
+            return bg, lut_img, ramp_band, sky, sky_bottom
+
+        @jax.jit
+        def finish(lut_img, bg, ramp_pad, start_height, inner_i32,
+                   moved_u8, drawings_b):
+            m = ramp_pad.shape[0]
+            row_is_ramp = (jnp.arange(m) <= start_height)[:, None, None]
+            top = jnp.where(row_is_ramp, ramp_pad, lut_img[:m])
+            grad = jnp.concatenate([top, lut_img[m:]], axis=0)
+            grad = jnp.where((inner_i32 != 0)[..., None], bg, grad)
+            return jnp.where(drawings_b[..., None], moved_u8, grad)
+
+        self._forward_grad = fwd
+        self._finish_grad = finish
+
+    def colorize_composited_gradient(self, base_dev, inner_dev, moved_dev,
+                                     drawings_dev, text: str):
+        """D1 dispatch; returns ``(bg, lut_img, ramp_band, sky, bottom)``
+        (first two device-resident, last three for host fetch)."""
+        if not hasattr(self, "_forward_grad"):
+            self._build_composited_gradient()
+        tokens = colorization_encode(text, self.vocab, self.cfg.max_len)
+        return self._forward_grad(
+            self.g_params, self._lut_device(), base_dev, inner_dev,
+            moved_dev, drawings_dev, np.asarray(tokens, np.int32)[None])
+
+    def finish_gradient(self, lut_img_dev, bg_dev, ramp_pad: np.ndarray,
+                        start_height: int, inner_dev, moved_dev,
+                        drawings_dev):
+        """D2 dispatch: splice the host-computed exact ramp rows over the
+        LUT image, restore FG pixels from the post-overlay canvas, apply
+        the stroke overlay.  Returns the final device canvas."""
+        return self._finish_grad(
+            lut_img_dev, bg_dev, jnp.asarray(ramp_pad),
+            jnp.int32(start_height), inner_dev, moved_dev, drawings_dev)

@@ -516,30 +516,46 @@ class ColorizationSession:
                 canvas = base
                 patch_list = []
                 row_start = 0
+                fused = self.cfg.pipeline.fused_gan_compositing
                 for s0, s1 in bounds:
                     n_seg = sum(pass_rows[s0:s1])
-                    t0 = time.perf_counter()
-                    if n_seg:
-                        seg_gen, _ = self.fg.colorize_rows_dev(
-                            rows[row_start: row_start + n_seg],
-                            row_class_ids[row_start: row_start + n_seg],
-                            np.asarray(
-                                row_tokens[row_start: row_start + n_seg],
-                                np.int32))
-                    else:
-                        s = self.cfg.pipeline.instance_size
-                        seg_gen = jnp.zeros((1, s, s, 3), jnp.uint8)
-                    self._tt(f"gan_dispatch[{n_seg}]", t0)
                     seg_passes, off = [], 0
                     for m in range(s0, s1):
                         seg_passes.append((tuple(plans[m][1]), off))
                         off += pass_rows[m]
-                    t0 = time.perf_counter()
-                    canvas, plist = compositor.composite_run_compact(
-                        canvas, seg_gen, seg_passes)
+                    if n_seg and fused and n_seg <= self.fg.MAX_GAN_ROWS:
+                        # one dispatch: GAN input build + forward +
+                        # compositing + patch gather as a single program
+                        t0 = time.perf_counter()
+                        canvas, plist = \
+                            compositor.composite_run_compact_fused(
+                                self.fg, canvas,
+                                rows[row_start: row_start + n_seg],
+                                row_class_ids[row_start:
+                                              row_start + n_seg],
+                                row_tokens[row_start: row_start + n_seg],
+                                seg_passes)
+                        self._tt(f"fused_dispatch[{n_seg}]", t0)
+                    else:
+                        t0 = time.perf_counter()
+                        if n_seg:
+                            seg_gen, _ = self.fg.colorize_rows_dev(
+                                rows[row_start: row_start + n_seg],
+                                row_class_ids[row_start: row_start + n_seg],
+                                np.asarray(
+                                    row_tokens[row_start:
+                                               row_start + n_seg],
+                                    np.int32))
+                        else:
+                            s = self.cfg.pipeline.instance_size
+                            seg_gen = jnp.zeros((1, s, s, 3), jnp.uint8)
+                        self._tt(f"gan_dispatch[{n_seg}]", t0)
+                        t0 = time.perf_counter()
+                        canvas, plist = compositor.composite_run_compact(
+                            canvas, seg_gen, seg_passes)
+                        self._tt("comp_dispatch", t0)
                     for p in plist:
                         p.copy_to_host_async()
-                    self._tt("comp_dispatch", t0)
                     patch_list.extend(plist)
                     row_start += n_seg
                 final_canvas = canvas
@@ -675,20 +691,31 @@ class ColorizationSession:
             class_ids25.append(comp.SKE_ID_TO_CAT_ID[class_id46])
 
         if batch and device_comp:
-            # one GAN dispatch + one compositing dispatch; the canvas stays
+            # one GAN dispatch + one compositing dispatch (ONE fused
+            # dispatch under ``fused_gan_compositing``); the canvas stays
             # device-resident between passes (byte-equal to the host chain
             # below -- tested in tests/test_pipeline_serving.py)
             toks = self.fg.encode(inst_color_text)
             tokens_rows = np.broadcast_to(
                 np.asarray(toks, np.int32)[None], (len(batch), len(toks)))
-            gen_dev, _ = self.fg.colorize_rows_dev(
-                batch, class_ids25, tokens_rows)
             canvas = self._canvas_dev(state, results_dir, last_name)
             compositor = state.get_compositor()
+            fused = (self.cfg.pipeline.fused_gan_compositing
+                     and self.cfg.pipeline.compact_fetch
+                     and len(batch) <= self.fg.MAX_GAN_ROWS)
+            if not fused:
+                gen_dev, _ = self.fg.colorize_rows_dev(
+                    batch, class_ids25, tokens_rows)
             if self.cfg.pipeline.compact_fetch:
                 # fetch only this pass's changed pixels; rebuild on host
-                canvas, patches_dev = compositor.composite_run_compact(
-                    canvas, gen_dev, [(tuple(inst_indices), 0)])
+                if fused:
+                    canvas, patches_dev = \
+                        compositor.composite_run_compact_fused(
+                            self.fg, canvas, batch, class_ids25,
+                            tokens_rows, [(tuple(inst_indices), 0)])
+                else:
+                    canvas, patches_dev = compositor.composite_run_compact(
+                        canvas, gen_dev, [(tuple(inst_indices), 0)])
                 new_result, _ = self._reconstruct(
                     state, self._load_base(state, results_dir, last_name),
                     np.asarray(patches_dev[0]), inst_indices, 0,
@@ -740,12 +767,23 @@ class ColorizationSession:
         moved, drawings_region = state.moved, state.drawings_region
         proc_text = combine_bg_input_text(input_text, last_bg_text)
 
-        if self.cfg.pipeline.device_compositing:
+        pl = self.cfg.pipeline
+        device_grad = (pl.device_compositing and pl.color_gradient
+                       and pl.device_color_gradient
+                       and pl.image_size ** 2 // 2 >= comp._LUT_MIN_PIXELS
+                       and bool((inner_mask[5:7] == 0).any()))
+        # (band fully FG -> host path so the reference's np.argmax([])
+        #  ValueError reproduces, compositing.py:300-315)
+        if device_grad:
+            return self._colorize_background_device_grad(
+                image_id, state, results_dir, previous, proc_text,
+                new_name, last_name)
+        if pl.device_compositing:
             # one dispatch: FG extract + GAN + paste-back + overlay on the
             # device-resident canvas (no 768^2 host->device upload); ONE
-            # canvas fetch remains -- the sky gradient is data-dependent
-            # host work on the whole image, so BG has no compact-fetch
-            # equivalent (changed pixels = everything outside the FG mask)
+            # canvas fetch remains -- under the host gradient the sky math
+            # is data-dependent whole-image host work (the device gradient
+            # above removes it from the critical path)
             compositor = state.get_compositor()
             base = self._canvas_dev(state, results_dir, last_name)
             t0 = time.perf_counter()
@@ -788,5 +826,68 @@ class ColorizationSession:
         t0 = time.perf_counter()
         self._save_result(out_path, background)
         state.last_result = (new_name, background)
+        self._tt("bg_save", t0)
+        return out_path, proc_text
+
+    def _colorize_background_device_grad(
+            self, image_id, state: _ImageState, results_dir: str,
+            previous: np.ndarray, proc_text: str, new_name: str,
+            last_name: str) -> Tuple[str, str]:
+        """BG pass with the sky gradient on device (``bg_utils.py:96-166``
+        split for float64 exactness): D1 = GAN + paste + overlay + sky
+        detection + whole-image LUT round-trip (one dispatch); the host
+        fetches only the top rows of the FG-whitened image and computes the
+        exact float64 HSV ramp (``compositing.sky_ramp_rows`` -- the same
+        bytes the host gradient writes); D2 splices the ramp over the LUT
+        image and restores FG/overlay pixels.  The finished canvas stays
+        device-resident (the next pass uploads nothing) and the PNG fetch
+        is write-behind -- the full-canvas fetch + whole-image host HSV
+        leave the critical path.  Byte-equality with the host-gradient
+        formulation is asserted at LUT scale in
+        ``tests/test_e2e_reference_examples.py`` and structurally in
+        ``tests/test_pipeline_serving.py`` (sky detect / splice units)."""
+        compositor = state.get_compositor()
+        base = self._canvas_dev(state, results_dir, last_name)
+        t0 = time.perf_counter()
+        bg_dev, lut_img, ramp_band_dev, sky_dev, bottom_dev = \
+            self.bg.colorize_composited_gradient(
+                base, compositor._inner, compositor._moved,
+                compositor._drawings, proc_text)
+        for x in (ramp_band_dev, sky_dev, bottom_dev):
+            x.copy_to_host_async()
+        self._tt("bg_dispatch", t0)
+
+        # fg debug image BEFORE the sky assert, exactly like the host flow
+        # (on a failed assert the reference has already written it)
+        fg_image_temp = comp.extract_foreground(previous, state.inner_mask)
+        fg_image_temp[state.drawings_region] = \
+            state.moved[state.drawings_region]
+        self._save_result(os.path.join(results_dir, f"{image_id}_fg.png"),
+                          fg_image_temp)
+
+        t0 = time.perf_counter()
+        sky_bottom = int(bottom_dev)
+        assert sky_bottom != -1         # reference assert (bg_utils.py:128)
+        sky_color = [int(v) for v in np.asarray(sky_dev)]
+        ramp_band = np.asarray(ramp_band_dev)
+        self._tt("bg_band_fetch", t0)
+        t0 = time.perf_counter()
+        start_height = int(sky_bottom / 4 * 3)
+        ramp_pad = np.zeros_like(ramp_band)
+        ramp_pad[: start_height + 1] = comp.sky_ramp_rows(
+            ramp_band, sky_color, sky_bottom)
+        self._tt("bg_ramp_host", t0)
+        t0 = time.perf_counter()
+        final_dev = self.bg.finish_gradient(
+            lut_img, bg_dev, ramp_pad, start_height, compositor._inner,
+            compositor._moved, compositor._drawings)
+        self._tt("bg_finish_dispatch", t0)
+
+        out_path = os.path.join(results_dir, new_name)
+        lazy = _LazyFetch(final_dev)
+        t0 = time.perf_counter()
+        self._save_result(out_path, lazy)
+        state.last_result = (new_name, lazy)
+        state.last_result_dev = (new_name, final_dev)
         self._tt("bg_save", t0)
         return out_path, proc_text

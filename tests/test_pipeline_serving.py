@@ -318,6 +318,119 @@ def test_compact_fetch_matches_full_canvas_path(serving_env):
             np.array(Image.open(b_p).convert("RGB")), err_msg=a_p)
 
 
+def test_sky_detect_device_matches_host():
+    """``engines.sky_detect_trace`` == ``compositing.detect_sky`` exactly:
+    dominant-band-color counts, the first-occurrence tie-break, and the
+    lowest-sky-row scan, across random images, forced ties, and the
+    sky-only-in-row-0 edge."""
+    import jax
+    from sketchyscenecolorization_tpu.pipeline.compositing import detect_sky
+    from sketchyscenecolorization_tpu.pipeline.engines import sky_detect_trace
+
+    fn = jax.jit(sky_detect_trace)
+    rng = np.random.RandomState(0)
+    for trial in range(12):
+        h, w = 32, 24
+        # few distinct colors -> real ties; random FG mask
+        img = rng.randint(0, 4, (h, w, 3)).astype(np.uint8) * 63
+        inner = (rng.rand(h, w) < 0.3).astype(np.int32)
+        img_bg = np.where((inner != 0)[..., None], np.uint8(255), img)
+        if trial == 5:        # sky color present only in row 0
+            img_bg[1: h // 2 + 1] = 7
+            img_bg[0, :] = img_bg[5, 0]
+        if trial == 7:        # whole band one color (count ties trivially)
+            img_bg[5:7] = 42
+        if not (inner[5:7] == 0).any():
+            continue
+        want_color, want_bottom = detect_sky(img_bg, inner)
+        got_color, got_bottom = fn(jnp.asarray(img_bg), jnp.asarray(inner))
+        assert [int(v) for v in np.asarray(got_color)] == want_color, trial
+        assert int(got_bottom) == want_bottom, trial
+
+
+def test_device_gradient_matches_host_gradient(serving_env, monkeypatch):
+    """``device_color_gradient`` (sky detect + LUT round-trip on device,
+    exact float64 ramp rows on host, canvas resident, write-behind PNG)
+    must be byte-identical to the host ``add_color_gradient`` path across
+    consecutive BG passes and a mixed FG/BG stream, records included.
+    Small shapes sit below LUT scale, so force the gate; the full 24-bit
+    LUT equals the direct float64 math exactly (same function, tested in
+    test_pipeline.py), so host-direct vs device-LUT is a fair byte
+    comparison."""
+    from sketchyscenecolorization_tpu.pipeline import compositing as comp_mod
+    tmp, cfg, base = serving_env
+    monkeypatch.setattr(comp_mod, "_LUT_MIN_PIXELS", 1)
+
+    texts = ["the sky is blue and the ground is green",
+             "the bus is yellow",
+             "the sky is red and the ground is gray",
+             "the sky is purple"]
+    dev = base.clone(seed=31, results_base_dir=str(tmp / "dg_on"),
+                     device_color_gradient=True)
+    host = base.clone(seed=31, results_base_dir=str(tmp / "dg_off"),
+                      device_color_gradient=False)
+    for t in texts:
+        a_p, b_p = dev.colorize(7, t), host.colorize(7, t)
+        dev.flush()
+        a = np.array(Image.open(a_p).convert("RGB"))
+        b = np.array(Image.open(b_p).convert("RGB"))
+        np.testing.assert_array_equal(a, b, err_msg=t)
+
+    d_s = base.clone(seed=33, results_base_dir=str(tmp / "dg_on_s"),
+                     device_color_gradient=True, async_png_writes=True)
+    h_s = base.clone(seed=33, results_base_dir=str(tmp / "dg_off_s"),
+                     device_color_gradient=False)
+    a_paths = d_s.colorize_stream(7, texts)
+    d_s.flush()
+    for a_p, b_p in zip(a_paths, h_s.colorize_stream(7, texts)):
+        np.testing.assert_array_equal(
+            np.array(Image.open(a_p).convert("RGB")),
+            np.array(Image.open(b_p).convert("RGB")), err_msg=a_p)
+    rec_a = json.load(open(tmp / "dg_on_s" / "update_records" /
+                           "7_records.json"))
+    rec_b = json.load(open(tmp / "dg_off_s" / "update_records" /
+                           "7_records.json"))
+    assert rec_a == rec_b
+
+
+def test_fused_dispatch_matches_split_dispatch(serving_env):
+    """``fused_gan_compositing`` (GAN prepare+forward inlined into the
+    compositing program -- one dispatch per segment) must be byte-identical
+    to the split two-dispatch path, sequentially and streamed, with the
+    identical noise-chain advance (``composite_run_compact_fused`` reuses
+    ``prep_fwd_fn``/``bucket_for`` verbatim)."""
+    tmp, cfg, base = serving_env
+    texts = ["the bus is yellow", "the grass is green",
+             "the sky is blue and the ground is green", "the bus is red"]
+    fused = base.clone(seed=21, results_base_dir=str(tmp / "fu_on"),
+                       fused_gan_compositing=True)
+    split = base.clone(seed=21, results_base_dir=str(tmp / "fu_off"),
+                       fused_gan_compositing=False)
+    for t in texts:
+        a = np.array(Image.open(fused.colorize(7, t)).convert("RGB"))
+        b = np.array(Image.open(split.colorize(7, t)).convert("RGB"))
+        np.testing.assert_array_equal(a, b, err_msg=t)
+    np.testing.assert_array_equal(np.asarray(fused.fg._rng),
+                                  np.asarray(split.fg._rng))
+
+    f_s = base.clone(seed=23, results_base_dir=str(tmp / "fu_on_s"),
+                     fused_gan_compositing=True)
+    s_s = base.clone(seed=23, results_base_dir=str(tmp / "fu_off_s"),
+                     fused_gan_compositing=False)
+    for a_p, b_p in zip(f_s.colorize_stream(7, texts),
+                        s_s.colorize_stream(7, texts)):
+        np.testing.assert_array_equal(
+            np.array(Image.open(a_p).convert("RGB")),
+            np.array(Image.open(b_p).convert("RGB")), err_msg=a_p)
+    np.testing.assert_array_equal(np.asarray(f_s.fg._rng),
+                                  np.asarray(s_s.fg._rng))
+    rec_a = json.load(open(tmp / "fu_on_s" / "update_records" /
+                           "7_records.json"))
+    rec_b = json.load(open(tmp / "fu_off_s" / "update_records" /
+                           "7_records.json"))
+    assert rec_a == rec_b
+
+
 def test_stream_failure_matches_sequential(serving_env):
     """A pass failing mid-run (single-line road, ``fg_color_utils.py:306-308``)
     must leave the stream session in exactly the sequential failure state:
