@@ -197,14 +197,18 @@ class PipelineConfig:
                                          # compute; 0 = one segment (noise
                                          # chain & outputs identical either
                                          # way -- tested)
-    fused_gan_compositing: bool = True   # with compact_fetch: inline the FG
+    fused_gan_compositing: bool = False  # with compact_fetch: inline the FG
                                          # GAN prepare+forward INTO the
                                          # compositing program so a stream
-                                         # segment is ONE tunnel dispatch
-                                         # (each costs 3-150 ms); same noise
-                                         # chain/bucket policy, falls back to
-                                         # the two-dispatch path for
-                                         # segments > MAX_GAN_ROWS
+                                         # segment is ONE tunnel dispatch.
+                                         # Byte-identical to the split path
+                                         # (tested); measured r4 on the axon
+                                         # tunnel it is ~4% SLOWER (13.3 vs
+                                         # 13.8 passes/s interleaved A/B --
+                                         # XLA schedules the patch gathers
+                                         # after the whole GAN), so default
+                                         # off; the knob exists for
+                                         # dispatch-latency-dominated links
     device_color_gradient: bool = True   # with device_compositing +
                                          # color_gradient at LUT scale: run
                                          # the sky gradient's LUT round-trip

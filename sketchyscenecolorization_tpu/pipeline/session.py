@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import atexit
 import os
+import threading
 import time
 from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -91,17 +92,29 @@ class _LazyFetch:
     """Device uint8 image fetched to host on first use.  Device buffers are
     immutable, so the handle stays valid however many passes run before the
     fetch -- this is what lets the PNG writer pull the finished canvas off
-    the critical path."""
-    __slots__ = ("dev", "_np")
+    the critical path.  The fetch is cached and SHARED: the session passes
+    the _LazyFetch itself to the write-behind worker (``__array__`` makes
+    ``np.asarray`` transparent), so when the next pass needs the previous
+    result on host (BG fg-debug extraction, FG reconstruction base) it
+    reuses the bytes the PNG worker already pulled instead of fetching the
+    768^2 canvas a second time over the ~20 MB/s tunnel."""
+    __slots__ = ("dev", "_np", "_lock")
 
     def __init__(self, dev):
         self.dev = dev
         self._np = None
+        self._lock = threading.Lock()
 
     def get(self) -> np.ndarray:
         if self._np is None:
-            self._np = np.asarray(self.dev)
+            with self._lock:
+                if self._np is None:
+                    self._np = np.asarray(self.dev)
         return self._np
+
+    def __array__(self, dtype=None, copy=None):   # np.asarray(_LazyFetch)
+        arr = self.get()
+        return arr.astype(dtype) if dtype is not None else arr
 
 
 class _ImageState:
@@ -280,7 +293,10 @@ class ColorizationSession:
         level = self.cfg.pipeline.png_compress_level
         if isinstance(image, _LazyFetch):
             if self._writer is not None:
-                self._writer.save(path, image.dev, level)
+                # pass the lazy itself: the worker's np.asarray goes through
+                # __array__, so the fetch lands in the shared cache and the
+                # next pass's host read of this result costs nothing
+                self._writer.save(path, image, level)
             else:
                 write_png(path, image.get(), level)
         elif self._writer is not None:
