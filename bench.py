@@ -229,6 +229,11 @@ def bench_pipeline(session, texts, passes, rounds, stream=False):
     (flush inside the timed window)."""
     plan = [texts[i % len(texts)] for i in range(passes)]
     session.colorize(IMAGE_ID, plan[0])          # warm/compile
+    if stream:
+        # the stream's segment programs (GAN buckets + compact compositing
+        # chains) are distinct executables -- warm the exact call being
+        # measured or round 1 pays their compiles
+        session.colorize_stream(IMAGE_ID, plan)
     session.flush()
     rates = []
     for _ in range(rounds):
@@ -625,7 +630,10 @@ def _run_sections() -> None:
     if r:
         detail["device_only_bf16_passes_per_sec"] = _stats(r[0])
         detail["bf16_note"] = (
-            "A/B only: XLA's default f32 path already runs the MXU in bf16, "
+            "A/B only (r4: f32 95.3 vs bf16 92.7 passes/s, ~88 TF/s both, "
+            "cost-analysis-consistent; r3's f32 241/s implied >220 TF/s -- "
+            "over v5e peak -- and was a tunnel measurement artifact): "
+            "XLA's default f32 path already runs the MXU in bf16, "
             "and the policy's explicit storage casts break conv+BN+act "
             "fusions -- measured ~2x SLOWER than f32 on both models "
             "(ops/conv.py); the knob is a numerics experiment, default f32")

@@ -24,13 +24,15 @@ _DIMS = ("NHWC", "HWIO", "NHWC")
 # conv/dot already computes as one bf16 pass on the MXU -- explicit bf16
 # operand casts are bitwise-identical to the f32 default (while
 # Precision.HIGHEST differs).  The bfloat16 policy therefore buys nothing on
-# the MXU, and in practice it LOSES: measured r4 on the serving models, bf16
-# is ~2x slower than f32 (RMI fused 33.2 vs 14.9 ms; FG GAN 256 rows 569 vs
-# 291 ms, 25.8 vs 50.3 TF/s) -- the extra convert ops around every conv
-# break XLA's conv+BN+activation fusions, costing more HBM traffic than the
-# half-width activation storage saves.  The knob is retained for numerics
-# experiments (tolerance-tested per model) but is NOT a performance feature;
-# the default everywhere is float32.  Accumulation stays float32 via
+# the MXU, and has never measured FASTER: r4 A/Bs over the axon tunnel
+# ranged from bf16 ~2x slower (RMI fused 33.2 vs 14.9 ms; FG GAN 256 rows
+# 569 vs 291 ms -- the extra convert ops around every conv break XLA's
+# conv+BN+activation fusions) to ~parity on the combined device-only bench
+# (92.7 vs 95.3 passes/s, ~88 TF/s both, cost-analysis-consistent; tunnel
+# measurements swing day-to-day, so treat single-day ratios as bounds, not
+# constants).  The knob is retained for numerics experiments
+# (tolerance-tested per model) but is NOT a performance feature; the
+# default everywhere is float32.  Accumulation stays float32 via
 # ``preferred_element_type`` either way.  The scope is read while *tracing*,
 # so it must wrap the traced call (engines bake it into their per-engine jit
 # functions).

@@ -106,11 +106,12 @@ class AsyncPngWriter:
                     return
                 path, arr, level = job
                 if self._trace is None:
-                    write_png(path, np.asarray(arr), level)
+                    host = arr() if callable(arr) else np.asarray(arr)
+                    write_png(path, host, level)
                 else:
                     import time
                     t0 = time.perf_counter()
-                    host = np.asarray(arr)
+                    host = arr() if callable(arr) else np.asarray(arr)
                     t1 = time.perf_counter()
                     if not isinstance(arr, np.ndarray):
                         self._trace.append(("png_fetch", t0, t1))
@@ -130,9 +131,12 @@ class AsyncPngWriter:
     def save(self, path: str, arr, level: int = 1, copy: bool = True) -> None:
         """``arr``: uint8 [H, W, 3] ndarray (copied by default -- callers may
         keep mutating; pass ``copy=False`` when the caller guarantees the
-        array is never mutated), or a DEVICE array (kept by handle: device
-        buffers are immutable, and the worker's ``np.asarray`` moves the
-        device->host fetch off the critical path too)."""
+        array is never mutated), a DEVICE array / ``__array__`` wrapper
+        (kept by handle: device buffers are immutable, and the worker's
+        ``np.asarray`` moves the device->host fetch off the critical path
+        too), or a zero-arg CALLABLE returning the array -- the whole image
+        construction then runs in the worker (the BG fg-debug image uses
+        this so the main thread never blocks on the previous canvas)."""
         self._check()
         q = self._queues[hash(path) % len(self._queues)]
         if copy and isinstance(arr, np.ndarray):

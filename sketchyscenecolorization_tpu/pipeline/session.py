@@ -775,25 +775,24 @@ class ColorizationSession:
         if last_name == "":
             assert last_bg_text == ""
             last_bg_text = DEFAULT_BG_TEXT
-            previous = state.sketch.copy()
-        else:
-            previous = self._load_base(state, results_dir, last_name)
-
-        inner_mask = state.inner_mask
-        moved, drawings_region = state.moved, state.drawings_region
         proc_text = combine_bg_input_text(input_text, last_bg_text)
 
         pl = self.cfg.pipeline
         device_grad = (pl.device_compositing and pl.color_gradient
                        and pl.device_color_gradient
                        and pl.image_size ** 2 // 2 >= comp._LUT_MIN_PIXELS
-                       and bool((inner_mask[5:7] == 0).any()))
+                       and bool((state.inner_mask[5:7] == 0).any()))
         # (band fully FG -> host path so the reference's np.argmax([])
         #  ValueError reproduces, compositing.py:300-315)
         if device_grad:
             return self._colorize_background_device_grad(
-                image_id, state, results_dir, previous, proc_text,
+                image_id, state, results_dir, proc_text,
                 new_name, last_name)
+
+        previous = state.sketch.copy() if last_name == "" \
+            else self._load_base(state, results_dir, last_name)
+        inner_mask = state.inner_mask
+        moved, drawings_region = state.moved, state.drawings_region
         if pl.device_compositing:
             # one dispatch: FG extract + GAN + paste-back + overlay on the
             # device-resident canvas (no 768^2 host->device upload); ONE
@@ -847,7 +846,7 @@ class ColorizationSession:
 
     def _colorize_background_device_grad(
             self, image_id, state: _ImageState, results_dir: str,
-            previous: np.ndarray, proc_text: str, new_name: str,
+            proc_text: str, new_name: str,
             last_name: str) -> Tuple[str, str]:
         """BG pass with the sky gradient on device (``bg_utils.py:96-166``
         split for float64 exactness): D1 = GAN + paste + overlay + sky
@@ -873,13 +872,33 @@ class ColorizationSession:
             x.copy_to_host_async()
         self._tt("bg_dispatch", t0)
 
-        # fg debug image BEFORE the sky assert, exactly like the host flow
-        # (on a failed assert the reference has already written it)
-        fg_image_temp = comp.extract_foreground(previous, state.inner_mask)
-        fg_image_temp[state.drawings_region] = \
-            state.moved[state.drawings_region]
-        self._save_result(os.path.join(results_dir, f"{image_id}_fg.png"),
-                          fg_image_temp)
+        # fg debug image enqueued BEFORE the sky assert, exactly like the
+        # host flow (on a failed assert the reference has already written
+        # it); built IN THE WORKER from the shared previous-result fetch,
+        # so the BG critical path never blocks on a 768^2 canvas read
+        if last_name == "":
+            prev_src = state.sketch
+        elif state.last_result is not None \
+                and state.last_result[0] == last_name:
+            prev_src = state.last_result[1]     # ndarray or _LazyFetch
+        else:                                   # rare: disk fallback, load
+            prev_src = self._load_base(state, results_dir, last_name)
+        inner, dr, moved = (state.inner_mask, state.drawings_region,
+                            state.moved)
+
+        def fg_debug(prev_src=prev_src, inner=inner, dr=dr, moved=moved):
+            prev = prev_src.get() if isinstance(prev_src, _LazyFetch) \
+                else prev_src
+            out = comp.extract_foreground(prev, inner)
+            out[dr] = moved[dr]
+            return out
+
+        fg_path = os.path.join(results_dir, f"{image_id}_fg.png")
+        level = self.cfg.pipeline.png_compress_level
+        if self._writer is not None:
+            self._writer.save(fg_path, fg_debug, level)
+        else:
+            write_png(fg_path, fg_debug(), level)
 
         t0 = time.perf_counter()
         sky_bottom = int(bottom_dev)
