@@ -55,14 +55,12 @@ with tempfile.TemporaryDirectory() as td:
     # --- BG GAN device-only time, chained digest on the composited program
     eng = session.bg
     tokens = np.zeros((1, eng.cfg.max_len), np.int32)
-    base = state.image_dev  # wrong dtype for canvas; build a real canvas
     canvas = jnp.asarray(np.asarray(state.sketch, np.uint8))
-    inner = state.inner_dev if hasattr(state, "inner_dev") else None
-    # use the session's real device constants
+    # the session's real device constants
     comp = state.get_compositor()
-    inner_dev = comp.inner_i32
-    moved_dev = comp.moved_u8
-    drawings_dev = comp.drawings_b
+    inner_dev = comp._inner
+    moved_dev = comp._moved
+    drawings_dev = comp._drawings
 
     from sketchyscenecolorization_tpu.ops.conv import compute_dtype_scope
     from sketchyscenecolorization_tpu.train.bg_gan import build_models
