@@ -284,8 +284,16 @@ def _rgb_roundtrip_lut() -> np.ndarray:
     return _ROUNDTRIP_LUT
 
 
+# shared search-band constants (``bg_utils.py:105``): the device twin
+# ``engines.sky_detect_trace`` and the session's band gate derive from
+# these so host and device paths cannot silently diverge
+SKY_SEARCH_FROM = 5
+SKY_SEARCH_HEIGHT = 2
+
+
 def detect_sky(img_bg: np.ndarray, inner_mask: np.ndarray,
-               search_height: int = 2, search_from: int = 5):
+               search_height: int = SKY_SEARCH_HEIGHT,
+               search_from: int = SKY_SEARCH_FROM):
     """(sky_color, sky_bottom) of the gradient (``bg_utils.py:105-128``):
     dominant color in the search band over non-FG pixels (ties break by
     first occurrence in row-major order -- the reference's dict-insertion

@@ -360,17 +360,24 @@ class FGColorizeEngine:
         return out, k
 
 
-def sky_detect_trace(img_bg, inner_i32):
+def sky_detect_trace(img_bg, inner_i32, search_from: int = None,
+                     search_height: int = None):
     """Traced twin of the host sky detection (``compositing.py:300-324``,
-    reproducing ``bg_utils.py:105-128``): dominant color of the rows-5:7
-    band over non-FG pixels (count, first-occurrence-in-row-major tie-break
+    reproducing ``bg_utils.py:105-128``): dominant color of the
+    ``search_from : search_from + search_height`` row band (defaults: the
+    shared ``compositing.SKY_SEARCH_FROM/HEIGHT`` constants = rows 5:7)
+    over non-FG pixels (count, first-occurrence-in-row-major tie-break
     -- the reference's dict-insertion scan), and the lowest row <= H/2
     containing that color (-1 if none; the caller asserts).  Exact integer
     logic, unit-tested against the host scan in
-    ``tests/test_pipeline_serving.py``."""
+    ``tests/test_pipeline_serving.py``.  ``search_from``/``search_height``
+    are static (Python ints) -- they select trace-time slice bounds."""
+    from .compositing import SKY_SEARCH_FROM, SKY_SEARCH_HEIGHT
+    f = SKY_SEARCH_FROM if search_from is None else int(search_from)
+    sh = SKY_SEARCH_HEIGHT if search_height is None else int(search_height)
     h, w = img_bg.shape[0], img_bg.shape[1]
-    band = jax.lax.slice(img_bg, (5, 0, 0), (7, w, 3)).reshape(-1, 3)
-    bmask = (jax.lax.slice(inner_i32, (5, 0), (7, w)) == 0).reshape(-1)
+    band = jax.lax.slice(img_bg, (f, 0, 0), (f + sh, w, 3)).reshape(-1, 3)
+    bmask = (jax.lax.slice(inner_i32, (f, 0), (f + sh, w)) == 0).reshape(-1)
     code = (band[:, 0].astype(jnp.int32) << 16) \
         | (band[:, 1].astype(jnp.int32) << 8) \
         | band[:, 2].astype(jnp.int32)

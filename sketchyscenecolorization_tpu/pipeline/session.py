@@ -114,7 +114,12 @@ class _LazyFetch:
 
     def __array__(self, dtype=None, copy=None):   # np.asarray(_LazyFetch)
         arr = self.get()
-        return arr.astype(dtype) if dtype is not None else arr
+        if dtype is not None and dtype != arr.dtype:
+            return arr.astype(dtype)              # astype always copies
+        # honor NumPy-2 copy semantics: the cached buffer is shared with
+        # the PNG worker and next-pass host reads, so copy=True must not
+        # hand the caller a mutable alias of it
+        return arr.copy() if copy else arr
 
 
 class _ImageState:
@@ -374,7 +379,11 @@ class ColorizationSession:
         return list(self._tr or ())
 
     def clear_trace(self) -> None:
+        # drain the write-behind queue first: in-flight PNG jobs append
+        # events to the same list from worker threads, and an event landing
+        # after the truncation would mix measurement windows
         if self._tr is not None:
+            self.flush()
             del self._tr[:]
 
     def flush(self) -> None:
@@ -781,7 +790,10 @@ class ColorizationSession:
         device_grad = (pl.device_compositing and pl.color_gradient
                        and pl.device_color_gradient
                        and pl.image_size ** 2 // 2 >= comp._LUT_MIN_PIXELS
-                       and bool((state.inner_mask[5:7] == 0).any()))
+                       and bool((state.inner_mask[
+                           comp.SKY_SEARCH_FROM:
+                           comp.SKY_SEARCH_FROM + comp.SKY_SEARCH_HEIGHT]
+                           == 0).any()))
         # (band fully FG -> host path so the reference's np.argmax([])
         #  ValueError reproduces, compositing.py:300-315)
         if device_grad:
