@@ -94,7 +94,9 @@ def build_variant(names, bucket):
     from sketchyscenecolorization_tpu.pipeline.engines import FGColorizeEngine
     from sketchyscenecolorization_tpu.ops.norm import per_sample_stats_scope
 
-    cfg = FGGanConfig(image_size=IMAGE_SIZE) if IMAGE_SIZE else FGGanConfig()
+    kw = {"compute_dtype": DTYPE} if DTYPE else {}
+    cfg = FGGanConfig(image_size=IMAGE_SIZE, **kw) if IMAGE_SIZE \
+        else FGGanConfig(**kw)
     with ablate(names):
         from sketchyscenecolorization_tpu.train.fg_gan import build_models
         gen, _ = build_models(cfg)
@@ -171,6 +173,7 @@ def time_variant(names, bucket, iters):
 
 
 IMAGE_SIZE = 0          # 0 = reference default (192); CPU smoke uses 64
+DTYPE = ""              # '' = config default (f32); 'bfloat16' = storage scope
 
 VARIANTS = {
     "baseline": (),
@@ -189,12 +192,15 @@ def main():
     ap.add_argument("--variants", type=str, default=",".join(VARIANTS))
     ap.add_argument("--size", type=int, default=0,
                     help="image size override (CPU smoke: 64)")
+    ap.add_argument("--dtype", type=str, default="",
+                    help="compute/storage dtype ('bfloat16')")
     args = ap.parse_args()
-    global IMAGE_SIZE
+    global IMAGE_SIZE, DTYPE
     IMAGE_SIZE = args.size
+    DTYPE = args.dtype
 
-    print(f"backend={jax.default_backend()} bucket={args.bucket}",
-          flush=True)
+    print(f"backend={jax.default_backend()} bucket={args.bucket} "
+          f"dtype={DTYPE or 'float32'}", flush=True)
     results = {}
     for name in args.variants.split(","):
         res = time_variant(VARIANTS[name], args.bucket, args.iters)

@@ -57,9 +57,16 @@ DEFAULT_INSTRUCTIONS = [
 
 def build_parity_session(matching_npz: str = "", fg_npz: str = "",
                          bg_npz: str = "", data_base_dir: str = "",
-                         out_dir: str = "", seed: int = 0):
+                         out_dir: str = "", seed: int = 0,
+                         direct_params: dict | None = None):
     """Session with any subset of converted TF1 weights (missing ones keep
-    fresh init so the pipeline still runs end-to-end)."""
+    fresh init so the pipeline still runs end-to-end).
+
+    ``direct_params`` bypasses the converter: a dict with any of the keys
+    'matching'/'fg'/'bg' whose values are already-built parameter trees.
+    ``tests/test_real_weight_parity.py`` uses it to certify at full scale
+    that the converted session is output-identical to a session handed the
+    same arrays directly."""
     import jax
     import jax.numpy as jnp
     from sketchyscenecolorization_tpu.config import (FrameworkConfig,
@@ -84,9 +91,12 @@ def build_parity_session(matching_npz: str = "", fg_npz: str = "",
         bg_vocab_path=os.path.join(repo, "data", "bg_vocab.txt"),
         match_ckpt_dir="", fg_ckpt_dir="", bg_ckpt_dir=""))
 
+    direct_params = direct_params or {}
     k_m, k_f, k_b = jax.random.split(jax.random.PRNGKey(seed), 3)
     m_params = jax.jit(lambda k: rmi.init_params(k, cfg.matching))(k_m)
-    if matching_npz:
+    if "matching" in direct_params:
+        m_params = cvt.merge_converted(m_params, direct_params["matching"])
+    elif matching_npz:
         m_params = cvt.merge_converted(
             m_params, cvt.convert_matching(
                 cvt.load_tf_vars_npz(matching_npz), cfg.matching, strict=True))
@@ -98,7 +108,9 @@ def build_parity_session(matching_npz: str = "", fg_npz: str = "",
         k_f, jnp.zeros((1, s, s, 3), jnp.float32),
         jnp.zeros((1, fcfg.max_len), jnp.int32), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, fcfg.noise_dim), jnp.float32))["params"]
-    if fg_npz:
+    if "fg" in direct_params:
+        f_params = cvt.merge_converted(f_params, direct_params["fg"])
+    elif fg_npz:
         f_params = cvt.merge_converted(
             f_params, cvt.convert_fg_generator(
                 cvt.load_tf_vars_npz(fg_npz), f_params, strict=True))
@@ -108,7 +120,9 @@ def build_parity_session(matching_npz: str = "", fg_npz: str = "",
     b_params = jax.jit(bgen.init)(
         k_b, jnp.zeros((1, sb, sb, 3), jnp.float32),
         jnp.zeros((1, bcfg.max_len), jnp.int32))["params"]
-    if bg_npz:
+    if "bg" in direct_params:
+        b_params = cvt.merge_converted(b_params, direct_params["bg"])
+    elif bg_npz:
         b_params = cvt.merge_converted(
             b_params, cvt.convert_bg_generator(
                 cvt.load_tf_vars_npz(bg_npz), bcfg.multi_residual,

@@ -234,6 +234,16 @@ class PipelineConfig:
     # redesign must not leak either).  0 = unbounded.
     max_cached_images: int = 8           # LRU over per-image fixture state
     max_cached_instance_inputs: int = 128  # per-image prepared-GAN-input LRU
+    cache_match_scores: bool = True      # per-image LRU of matching scores by
+                                         # instruction text: the [N_inst]
+                                         # occupancy vector is a pure function
+                                         # of (fixtures, params, text), so a
+                                         # repeated instruction skips the
+                                         # matching dispatch entirely (the
+                                         # threshold still applies per session
+                                         # -- scores are cached pre-threshold;
+                                         # output-preserving, tested)
+    max_cached_match_texts: int = 256    # bound of that per-image LRU; 0 = off
 
 
 @dataclass(frozen=True)

@@ -227,6 +227,15 @@ class MRUGenerator(nn.Module):
         resized_z = [box_downsample(sketch, 2 ** i) for i in range(6)][::-1]
         # mean-pool pyramid for the encoder, smallest-first: [S/16 ... S]
         x_list = _pyramid_mean_pool(sketch, 4)
+        # under the bf16 storage scope, hold the sketch pyramids at the
+        # scope dtype too: an f32 pyramid entry in a skip concat would
+        # promote the whole concatenated activation back to f32 (no-op
+        # for the default f32 policy)
+        from ..ops.conv import scope_dtype
+        sd = scope_dtype()
+        if sd is not None:
+            resized_z = [r.astype(sd) for r in resized_z]
+            x_list = [xx.astype(sd) for xx in x_list]
 
         # ---- encoder (``image_encoder_mru``) ----
         h0 = SNConv(8, 7, stride=2, sn=sn, name="enc_h0")(x_list[-1])
@@ -261,6 +270,8 @@ class MRUGenerator(nn.Module):
                         activation=self.activation, name="noise_fc")(noise_vec)
         noise = noise.reshape(b, channel_depth, noise_hw, noise_hw)
         noise = jnp.transpose(noise, (0, 2, 3, 1))  # NCHW layout in ref -> NHWC
+        if sd is not None:
+            noise = noise.astype(sd)
 
         # ---- decoder: 5 MRU-deconv stages with sketch re-injection ----
         hts = [feat_final] + [

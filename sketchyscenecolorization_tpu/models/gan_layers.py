@@ -65,7 +65,9 @@ class SNConv(nn.Module):
             b = self.param("biases",
                            lambda k, s: jnp.full(s, self.bias_init_value, jnp.float32),
                            (self.features,))
-            y = y + b
+            # keep the activation at the conv's (storage-scope) dtype: an
+            # f32 bias would promote a bf16 stream back to f32 (f32 no-op)
+            y = y + b.astype(y.dtype)
         if self.normalizer is not None:
             y = self.normalizer(y)
         return apply_activation(self, y, self.activation)
@@ -92,8 +94,8 @@ class SNDense(nn.Module):
                 u.value = new_u
             w = w_bar
         b = self.param("biases", nn.initializers.zeros, (self.features,))
-        y = x @ w + b
-        return apply_activation(self, y, self.activation)
+        y = x @ w.astype(x.dtype) + b.astype(x.dtype)   # f32 no-op; bf16:
+        return apply_activation(self, y, self.activation)  # stay at x.dtype
 
 
 def apply_activation(module: nn.Module, x, activation):
@@ -113,7 +115,7 @@ def apply_activation(module: nn.Module, x, activation):
         return jax.nn.softplus(x)
     if activation == "prelu":
         leak = module.param("prelu_param", lambda k: jnp.asarray(0.2, jnp.float32))
-        return jnp.maximum(leak * x, x)
+        return jnp.maximum(leak.astype(x.dtype) * x, x)   # f32 no-op
     raise ValueError(f"unknown activation {activation}")
 
 
@@ -176,6 +178,11 @@ class TextFusionLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, visual, tokens):
+        # the recurrence is tiny (6x6 / 24x24 grids) and the Pallas kernel is
+        # float32: pin the internals to f32 whatever the storage scope and
+        # hand the result back at the caller's dtype (f32 no-op)
+        in_dtype = visual.dtype
+        visual = visual.astype(jnp.float32)
         b, h, w, c = visual.shape
         t_max = tokens.shape[1]
         p = h * w
@@ -222,4 +229,4 @@ class TextFusionLSTM(nn.Module):
         h_a = masked_pixel_lstm(pixel_term, step_term, w_h, valid)
 
         out = atanh_transform(h_a.reshape(b, h, w, c))
-        return out
+        return out.astype(in_dtype)

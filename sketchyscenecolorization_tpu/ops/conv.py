@@ -73,15 +73,19 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, rate: int = 1,
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    # Under the storage scope the conv emits its result AT the scope dtype
+    # (still f32-accumulated on the MXU) instead of emitting f32 and
+    # converting after -- same rounding point, but no materialized f32
+    # intermediate (the bf16 serving mode is HBM-bandwidth-bound).
     out = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=padding,
         rhs_dilation=(rate, rate),
         dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_cast or jnp.float32,
     )
-    return out if out_cast is None else out.astype(out_cast)
+    return out
 
 
 def atrous_conv2d(x: jnp.ndarray, w: jnp.ndarray, rate: int,
@@ -108,9 +112,9 @@ def pad1_conv4(x: jnp.ndarray, w: jnp.ndarray, stride: int,
         window_strides=(stride, stride),
         padding=((1, 1), (1, 1)),
         dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_cast or jnp.float32,
     )
-    return out if out_cast is None else out.astype(out_cast)
+    return out
 
 
 def conv2d_transpose(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
@@ -147,9 +151,9 @@ def conv2d_transpose(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
                  (kw - 1 - pad_lo_w, kw - 1 - pad_hi_w)),
         lhs_dilation=(stride, stride),
         dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_cast or jnp.float32,
     )
-    return out if out_cast is None else out.astype(out_cast)
+    return out
 
 
 def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:

@@ -61,13 +61,16 @@ def per_sample_stats_scope(on: bool = True):
 
 def batch_stats_norm(x, offset, scale, eps: float = 1e-5):
     """Per-channel batch statistics over (N, H, W); applied even in eval.
-    Statistics accumulate in float32 even when activations are bf16."""
+    Statistics accumulate in float32 even when activations are bf16; the
+    result returns at the INPUT dtype (a no-op for f32; under the bf16
+    storage scope this keeps activations bf16 through the whole stack
+    instead of bouncing f32<->bf16 around every conv)."""
     xs = x.astype(jnp.float32)
     axes = _stats_axes(x)
     mean = jnp.mean(xs, axis=axes, keepdims=True)
     var = jnp.var(xs, axis=axes, keepdims=True)
     inv = scale * (1.0 / jnp.sqrt(var + eps))
-    return (xs - mean) * inv + offset
+    return ((xs - mean) * inv + offset).astype(x.dtype)
 
 
 def conditional_batch_stats_norm(x, labels, offset_table, scale_table, eps: float = 1e-5):
@@ -81,7 +84,8 @@ def conditional_batch_stats_norm(x, labels, offset_table, scale_table, eps: floa
     var = jnp.var(xs, axis=axes, keepdims=True)
     offset = offset_table[labels][:, None, None, :]   # [N,1,1,C]
     scale = scale_table[labels][:, None, None, :]
-    return (xs - mean) / jnp.sqrt(var + eps) * scale + offset
+    # f32 statistics, input-dtype result (no-op for f32; see batch_stats_norm)
+    return ((xs - mean) / jnp.sqrt(var + eps) * scale + offset).astype(x.dtype)
 
 
 def l2_normalize(x, axis: int = -1, eps: float = 1e-12):
@@ -90,7 +94,9 @@ def l2_normalize(x, axis: int = -1, eps: float = 1e-12):
     sqrt(eps) -- not a floor on the norm itself)."""
     sum_sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis,
                      keepdims=True)
-    return x * jax.lax.rsqrt(jnp.maximum(sum_sq, eps))
+    # input-dtype result (no-op for f32: bf16 * f32 would promote and
+    # silently re-widen the activation stream under the bf16 storage scope)
+    return x * jax.lax.rsqrt(jnp.maximum(sum_sq, eps)).astype(x.dtype)
 
 
 def _sn_l2norm(v, eps: float = 1e-12):

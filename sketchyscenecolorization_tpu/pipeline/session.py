@@ -156,6 +156,10 @@ class _ImageState:
         self.areas_host = self.pred_masks.reshape(n, -1).sum(axis=1) \
             .astype(np.float64)
         self.visual_dev = None                  # lazily-cached backbone feats
+        # text -> [N_inst] float64 occupancy scores (pre-threshold): a pure
+        # function of (fixtures, engine params, text), so repeat instructions
+        # skip the matching dispatch (PipelineConfig.cache_match_scores)
+        self.match_scores: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self.instance_inputs: "OrderedDict[int, np.ndarray]" = OrderedDict()
         self.instance_rows_dev: "OrderedDict[int, Any]" = OrderedDict()
         self.last_result: Optional[Tuple[str, np.ndarray]] = None  # (name, img)
@@ -667,16 +671,55 @@ class ColorizationSession:
                     input_texts: Sequence[str]) -> List[List[int]]:
         """Matched instance indices for M instructions in ONE device call
         (``rmi.apply_fused`` is batch-independent, so this is bit-equal to M
-        single calls -- ``test_pipeline.test_predict_masks_batched...``)."""
-        if self.cfg.pipeline.cache_visual_features and state.visual_dev is None:
-            state.visual_dev = self.matching.extract_visual_dev(state.image_dev)
-        words, lens = self.matching.encode_texts(list(input_texts))
-        scores = self.matching.score_instances(
-            state.image_dev, words, lens, state.inst_masks_dev,
-            state.areas_host, state.bin_drawing_dev,
-            visual_dev=state.visual_dev)                    # [M, N_inst]
-        keep = scores > self.cfg.pipeline.mask_occupied_threshold
-        return [[int(i) for i in np.nonzero(row)[0]] for row in keep]
+        single calls -- ``test_pipeline.test_predict_masks_batched...``).
+
+        With ``cache_match_scores``, per-text score vectors are served from
+        the image's LRU (scores are a pure function of fixtures + engine
+        params + text); only uncached texts dispatch, padded to a pow2 text
+        bucket (pad rows repeat row 0 -- batch independence makes them
+        inert) so the jit cache stays bounded."""
+        pl = self.cfg.pipeline
+        use_cache = pl.cache_match_scores and pl.max_cached_match_texts != 0
+        texts = list(input_texts)
+        todo = ([t for t in dict.fromkeys(texts)
+                 if t not in state.match_scores] if use_cache else texts)
+        if todo:
+            if pl.cache_visual_features and state.visual_dev is None:
+                state.visual_dev = self.matching.extract_visual_dev(
+                    state.image_dev)
+            words, lens = self.matching.encode_texts(todo)
+            if use_cache:
+                bucket = 1
+                while bucket < len(todo):
+                    bucket *= 2
+                pad = bucket - len(todo)
+                if pad:
+                    words = np.concatenate(
+                        [words, np.repeat(words[:1], pad, axis=0)])
+                    lens = np.concatenate(
+                        [lens, np.repeat(lens[:1], pad, axis=0)])
+            scores = self.matching.score_instances(
+                state.image_dev, words, lens, state.inst_masks_dev,
+                state.areas_host, state.bin_drawing_dev,
+                visual_dev=state.visual_dev)                # [M', N_inst]
+            if not use_cache:
+                keep = scores > pl.mask_occupied_threshold
+                return [[int(i) for i in np.nonzero(row)[0]] for row in keep]
+            for t, row in zip(todo, scores):
+                state.match_scores[t] = row
+            while 0 < pl.max_cached_match_texts < len(state.match_scores):
+                state.match_scores.popitem(last=False)
+        out = []
+        fresh = dict(zip(todo, scores)) if todo else {}
+        for t in texts:
+            if t in state.match_scores:
+                state.match_scores.move_to_end(t)
+                row = state.match_scores[t]
+            else:                       # evicted within this very call (an
+                row = fresh[t]          # M > max_cached_match_texts batch)
+            keep = row > pl.mask_occupied_threshold
+            out.append([int(i) for i in np.nonzero(keep)[0]])
+        return out
 
     def match_instances_host(self, image_id, input_text: str) -> List[int]:
         """Host-side reference path (full mask fetch +

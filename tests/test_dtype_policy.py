@@ -1,10 +1,15 @@
 """DTypePolicy: bfloat16 compute plumbed through the GANs and engines.
 
-The bf16 path casts conv operands only (accumulation stays float32,
-``ops/conv.py``); parameters and pointwise math stay float32, so outputs
-track the float32 path within bf16 rounding amplified by the batch-stats
-normalizations.  Tolerances are therefore moderate, and correlation is
-asserted to catch gross wiring errors (e.g. a path that never casts back).
+The bf16 path is NATIVE storage (r5): convs cast operands and emit their
+f32-accumulated result AT bf16 (``ops/conv.py``), and the batch-stats /
+l2 normalizations compute statistics in f32 but return at the input dtype
+(``ops/norm.py``), so activations stay bf16 end to end -- that is the
+point: the FG GAN forward is HBM-bandwidth-bound (PARITY.md "HLO-level
+attribution") and bf16 storage halves the bytes.  Model outputs under the
+scope are therefore bf16 (engines cast to f32/uint8 at the boundary).
+Parameters stay float32.  Outputs track the float32 path within bf16
+rounding amplified by the batch-stats normalizations; tolerances are
+moderate, and correlation is asserted to catch gross wiring errors.
 """
 import numpy as np
 import jax
@@ -53,8 +58,9 @@ def test_fg_generator_bf16_forward_parity():
 
     f32 = np.asarray(model.apply(variables, sketch, tokens, labels, noise))
     with compute_dtype_scope("bfloat16"):
-        bf16 = np.asarray(model.apply(variables, sketch, tokens, labels, noise))
-    assert bf16.dtype == np.float32
+        out = model.apply(variables, sketch, tokens, labels, noise)
+    assert out.dtype == jnp.bfloat16          # native bf16 storage mode
+    bf16 = np.asarray(out.astype(jnp.float32))
     assert np.isfinite(bf16).all()
     assert _corr(f32, bf16) > 0.99
     assert np.abs(f32 - bf16).mean() < 0.05

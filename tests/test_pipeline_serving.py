@@ -527,6 +527,50 @@ def test_async_session_matches_sync_and_withdraw_flushes(serving_env):
     assert not os.path.isfile(p3)
 
 
+def test_match_score_cache_matches_uncached_and_skips_dispatch(serving_env):
+    """``cache_match_scores`` (per-image LRU of pre-threshold score vectors)
+    selects exactly the instances the uncached path does -- including the
+    pow2 pad-bucket dispatch for multi-text batches -- and a repeated
+    instruction dispatches nothing."""
+    tmp, cfg, base = serving_env
+    cached = base.clone(seed=0, results_base_dir=str(tmp / "mc_on"))
+    uncached = base.clone(seed=0, results_base_dir=str(tmp / "mc_off"),
+                          cache_match_scores=False)
+
+    # 3 unique texts -> todo bucket 4 with one repeated pad row
+    state_c = cached._state(7)
+    state_u = uncached._state(7)
+    texts = ["the bus is yellow", "the grass", "the bus"]
+    assert cached._match_many(state_c, texts) == \
+        uncached._match_many(state_u, texts)
+    assert list(state_c.match_scores) == texts
+    assert not state_u.match_scores
+
+    # repeated instruction: served from the LRU, no engine dispatch
+    calls = []
+    orig = cached.matching.score_instances
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    cached.matching.score_instances = counting
+    try:
+        again = cached._match_many(state_c, ["the bus", "the bus is yellow"])
+        assert calls == []
+        assert again == [cached._match_many(state_c, ["the bus"])[0],
+                         cached._match_many(state_c, ["the bus is yellow"])[0]]
+        # LRU bound: a tighter clone evicts but still answers identically
+        tight = base.clone(seed=0, results_base_dir=str(tmp / "mc_tight"),
+                           max_cached_match_texts=2)
+        state_t = tight._state(7)
+        assert tight._match_many(state_t, texts) == \
+            uncached._match_many(state_u, texts)
+        assert len(state_t.match_scores) <= 2
+    finally:
+        cached.matching.score_instances = orig
+
+
 def test_cold_backbone_matches_warm_cache(serving_env):
     """cache_visual_features=False (backbone per instruction) selects the
     same instances as the cached-feature path."""
