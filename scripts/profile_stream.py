@@ -6,7 +6,9 @@ untraced main-thread remainder, and a merged timeline so overlap between the
 main thread (dispatch/patch waits) and the PNG workers is visible.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile_stream.py
-Env: PROF_ROUNDS (default 3), PROF_PASSES (12), PROF_BG (1)
+Env: PROF_ROUNDS (default 3), PROF_PASSES (12), PROF_BG (1),
+     PROF_THRESHOLD (mask_occupied_threshold; 0.885 = the bench's selective
+     ~2-instance workload, default 0.5 = the all-18 stress workload)
 """
 from __future__ import annotations
 
@@ -49,7 +51,9 @@ def build():
         data_base_dir=EXAMPLES, results_base_dir=out,
         match_vocab_path="", fg_vocab_path="", bg_vocab_path="",
         match_ckpt_dir="", fg_ckpt_dir="", bg_ckpt_dir="",
-        async_png_writes=True, stage_trace=True))
+        async_png_writes=True, stage_trace=True,
+        mask_occupied_threshold=float(
+            os.environ.get("PROF_THRESHOLD", "0.5"))))
     return build_session(cfg, seed=0)
 
 
