@@ -53,7 +53,8 @@ def build():
         match_ckpt_dir="", fg_ckpt_dir="", bg_ckpt_dir="",
         async_png_writes=True, stage_trace=True,
         mask_occupied_threshold=float(
-            os.environ.get("PROF_THRESHOLD", "0.5"))))
+            os.environ.get("PROF_THRESHOLD", "0.5")),
+        stream_segment_rows=int(os.environ.get("PROF_SEG", "112"))))
     return build_session(cfg, seed=0)
 
 

@@ -197,6 +197,18 @@ class PipelineConfig:
                                          # compute; 0 = one segment (noise
                                          # chain & outputs identical either
                                          # way -- tested)
+    stream_small_segment_rows: int = 16  # runs totalling <= 96 instance rows
+                                         # segment at THIS many rows instead:
+                                         # the in-context GAN bucket walls are
+                                         # pathological at 32/64 (r4: 16->46,
+                                         # 32->109, 64->240 ms) and the r5
+                                         # selective A/B measured two 16-row
+                                         # buckets at 61-76 passes/s vs one
+                                         # 32-bucket at 51-60; big runs keep
+                                         # stream_segment_rows (112 -> bucket
+                                         # 128, measured best on the stress
+                                         # workload).  0 = disable (small
+                                         # runs use stream_segment_rows)
     fused_gan_compositing: bool = False  # with compact_fetch: inline the FG
                                          # GAN prepare+forward INTO the
                                          # compositing program so a stream

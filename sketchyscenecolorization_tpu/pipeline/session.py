@@ -543,6 +543,11 @@ class ColorizationSession:
                 # bit-identical however the run is segmented: the jitted
                 # prepare continues the rng row by row.
                 seg_rows = self.cfg.pipeline.stream_segment_rows
+                small = self.cfg.pipeline.stream_small_segment_rows
+                if small > 0 and sum(pass_rows) <= 96:
+                    # small runs segment finer: buckets stay <= 16, clear of
+                    # the 32/64 in-context bucket pathology (config comment)
+                    seg_rows = small
                 bounds, acc, start = [], 0, 0
                 for m, r in enumerate(pass_rows):
                     acc += r

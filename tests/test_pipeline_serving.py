@@ -304,15 +304,32 @@ def test_compact_fetch_matches_full_canvas_path(serving_env):
 
     # forced multi-segment run (segment per row) == unsegmented: the GAN
     # noise chain and every canvas must be identical however the run is
-    # split into GAN+compositing segments
+    # split into GAN+compositing segments (small-run override pinned off so
+    # the configured segment sizes are the ones actually exercised)
     seg = base.clone(seed=13, results_base_dir=str(tmp / "cf_seg"),
                      device_compositing=True, compact_fetch=True,
-                     stream_segment_rows=1)
+                     stream_segment_rows=1, stream_small_segment_rows=0)
     unseg = base.clone(seed=13, results_base_dir=str(tmp / "cf_unseg"),
                        device_compositing=True, compact_fetch=True,
-                       stream_segment_rows=0)
+                       stream_segment_rows=0, stream_small_segment_rows=0)
     for a_p, b_p in zip(seg.colorize_stream(7, texts),
                         unseg.colorize_stream(7, texts)):
+        np.testing.assert_array_equal(
+            np.array(Image.open(a_p).convert("RGB")),
+            np.array(Image.open(b_p).convert("RGB")), err_msg=a_p)
+
+    # small-run override (runs totalling <= 96 rows re-segment at
+    # stream_small_segment_rows) == unsegmented: same invariance, through
+    # the override branch itself (2-row segments force multiple segments
+    # on this fixture where the production 16 would collapse to one)
+    sm = base.clone(seed=15, results_base_dir=str(tmp / "cf_small"),
+                    device_compositing=True, compact_fetch=True,
+                    stream_segment_rows=0, stream_small_segment_rows=2)
+    un2 = base.clone(seed=15, results_base_dir=str(tmp / "cf_small_off"),
+                     device_compositing=True, compact_fetch=True,
+                     stream_segment_rows=0, stream_small_segment_rows=0)
+    for a_p, b_p in zip(sm.colorize_stream(7, texts),
+                        un2.colorize_stream(7, texts)):
         np.testing.assert_array_equal(
             np.array(Image.open(a_p).convert("RGB")),
             np.array(Image.open(b_p).convert("RGB")), err_msg=a_p)
