@@ -1,12 +1,19 @@
 """North-star benchmark: instruction -> colorized-768^2 passes/sec/chip.
 
 The headline number times the FULL interactive pipeline on the reference's
-own fixture (sketch 9996), reporting the best full-pipeline serving config
-(sequential ``colorize`` vs ``colorize_stream`` request batching -- same
-records byte-for-byte; images equal up to the batched-BN GAN bucket-size
-reduction-order caveat in ``pipeline/session.py``'s header, <= 7 u8 units
-on TPU; ``detail.headline_config`` says which won, both medians are in
-detail): ``ColorizationSession.colorize`` end-to-end --
+own fixture (sketch 9996) at the workload BASELINE.md defines the >=50
+target on: the reference's realistic interactive flow, where an
+instruction colorizes the 1-3 instances it names
+(``fg_color_utils.py:282-345``; ``pipeline_selective`` below --
+``detail.headline_workload = "selective_realistic"``).  The
+untrained-params stress artifact (every pass recolors ALL 18 fixture
+instances, 6-18x the per-pass work; ``avg_instances_per_pass``) is
+reported alongside in detail as ``pipeline_stream``/``pipeline_seq`` --
+both serving configs, same records byte-for-byte; images equal up to the
+batched-BN GAN bucket-size reduction-order caveat in
+``pipeline/session.py``'s header, <= 7 u8 units on TPU;
+``detail.headline_config`` says which stress config won.  Every pass runs
+``ColorizationSession.colorize`` end-to-end --
 RMI referring segmentation at 768^2, device-side instance scoring
 (``get_pred_instance_mask`` semantics), per-instance crop/resize, the FG
 MRU-GAN forward for EVERY matched instance, un-resize, inner-mask paste and
@@ -117,12 +124,27 @@ def _stats(samples):
 #   3. every section is fail-soft and main() emits in a finally block.
 
 _DETAIL: dict = {}             # shared with the watchdog for partial emission
-_SEQ_RATES: list = []
+_SEQ_RATES: list = []          # stress workload (all fixture instances/pass)
+_SEL_RATES: list = []          # target workload (realistic selectivity)
 _EMITTED = threading.Event()
 
 
 def _json_line(error: str = "") -> str:
-    value = statistics.median(_SEQ_RATES) if _SEQ_RATES else 0.0
+    # The headline measures the workload BASELINE.md defines the >=50
+    # target on: the reference's realistic interactive flow, where a
+    # trained matcher selects the 1-3 instances an instruction names
+    # (fg_color_utils.py:282-345).  The untrained-params stress artifact
+    # (every pass recolors ALL fixture instances, 6-18x the work) is
+    # reported alongside in detail -- no silent workload swap, both
+    # per-pass instance counts disclosed.  Until the selective section has
+    # run, provisional lines fall back to the stress rate (disclosed via
+    # headline_workload).
+    if _SEL_RATES:
+        value = statistics.median(_SEL_RATES)
+        _DETAIL["headline_workload"] = "selective_realistic"
+    else:
+        value = statistics.median(_SEQ_RATES) if _SEQ_RATES else 0.0
+        _DETAIL["headline_workload"] = "stress_all_instances"
     out = {
         "metric": "instruction_to_colorized_768_pipeline_passes_per_sec_per_chip",
         "value": round(value, 3),
@@ -682,6 +704,7 @@ def _run_sections() -> None:
                         lambda: bench_pipeline(sessions["sel"], FG_TEXTS,
                                                PASSES, ROUNDS, stream=True))
             if r:
+                _SEL_RATES[:] = r        # the headline: target workload
                 detail["pipeline_selective_passes_per_sec"] = _stats(r)
                 _emit_provisional()
 
