@@ -61,19 +61,26 @@ def make_optimizer(cfg: BGGanConfig) -> optax.GradientTransformation:
 
 def create_bg_gan_state(rng, cfg: BGGanConfig,
                         image_size: int = 0) -> BGGanTrainState:
+    # one jitted init program instead of an eager per-op dispatch storm
+    # (see create_fg_gan_state)
     gen, disc = build_models(cfg)
-    s = image_size or cfg.image_size
-    k_g, k_d = jax.random.split(rng)
-    img = jnp.zeros((cfg.batch_size, s, s, 3), jnp.float32)
-    tok = jnp.zeros((cfg.batch_size, cfg.max_len), jnp.int32)
-    g_params = gen.init(k_g, img, tok)["params"]
-    d_params = disc.init(k_d, img, img)["params"]
-    ema = {k: jnp.zeros((), jnp.float32) for k in LOSS_KEYS}
     opt = make_optimizer(cfg)
-    return BGGanTrainState(g_params=g_params, d_params=d_params,
-                           g_opt_state=opt.init(g_params),
-                           d_opt_state=opt.init(d_params),
-                           ema_losses=ema, step=jnp.zeros((), jnp.int32))
+    s = image_size or cfg.image_size
+
+    def build(k):
+        k_g, k_d = jax.random.split(k)
+        img = jnp.zeros((cfg.batch_size, s, s, 3), jnp.float32)
+        tok = jnp.zeros((cfg.batch_size, cfg.max_len), jnp.int32)
+        g_params = gen.init(k_g, img, tok)["params"]
+        d_params = disc.init(k_d, img, img)["params"]
+        ema = {k: jnp.zeros((), jnp.float32) for k in LOSS_KEYS}
+        return BGGanTrainState(g_params=g_params, d_params=d_params,
+                               g_opt_state=opt.init(g_params),
+                               d_opt_state=opt.init(d_params),
+                               ema_losses=ema,
+                               step=jnp.zeros((), jnp.int32))
+
+    return jax.jit(build)(rng)
 
 
 def make_bg_gan_train_step(cfg: BGGanConfig, donate: bool = True):

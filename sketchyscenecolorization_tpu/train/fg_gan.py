@@ -114,24 +114,32 @@ def make_optimizers(cfg: FGGanConfig):
 
 
 def create_fg_gan_state(rng, cfg: FGGanConfig) -> FGGanTrainState:
+    # the whole init runs as ONE jitted program: eager flax init dispatches
+    # ~850 single-op executables (measured 52 s of a 81 s harness test on
+    # the CPU suite box, and one tunnel round-trip per op on TPU)
     gen, disc = build_models(cfg)
+    opt_g, opt_d = make_optimizers(cfg)
     s = cfg.image_size
     b = max(cfg.batch_size, 1)
-    k_g, k_d, k_n = jax.random.split(rng, 3)
-    dummy_img = jnp.zeros((b, s, s, 3), jnp.float32)
-    dummy_tok = jnp.zeros((b, cfg.max_len), jnp.int32)
-    dummy_lab = jnp.zeros((b,), jnp.int32)
-    g_vars = gen.init(k_g, dummy_img, dummy_tok, dummy_lab,
-                      jnp.zeros((b, cfg.noise_dim), jnp.float32))
-    d_vars = disc.init(k_d, dummy_img, dummy_img, dummy_lab)
-    opt_g, opt_d = make_optimizers(cfg)
-    g_params = g_vars["params"]
-    d_params = d_vars["params"]
-    d_sn = d_vars.get("sn", {})
-    return FGGanTrainState(
-        g_params=g_params, d_params=d_params, d_sn=d_sn,
-        g_opt_state=opt_g.init(g_params), d_opt_state=opt_d.init(d_params),
-        step=jnp.zeros((), jnp.int32))
+
+    def build(k):
+        k_g, k_d, k_n = jax.random.split(k, 3)
+        dummy_img = jnp.zeros((b, s, s, 3), jnp.float32)
+        dummy_tok = jnp.zeros((b, cfg.max_len), jnp.int32)
+        dummy_lab = jnp.zeros((b,), jnp.int32)
+        g_vars = gen.init(k_g, dummy_img, dummy_tok, dummy_lab,
+                          jnp.zeros((b, cfg.noise_dim), jnp.float32))
+        d_vars = disc.init(k_d, dummy_img, dummy_img, dummy_lab)
+        g_params = g_vars["params"]
+        d_params = d_vars["params"]
+        d_sn = d_vars.get("sn", {})
+        return FGGanTrainState(
+            g_params=g_params, d_params=d_params, d_sn=d_sn,
+            g_opt_state=opt_g.init(g_params),
+            d_opt_state=opt_d.init(d_params),
+            step=jnp.zeros((), jnp.int32))
+
+    return jax.jit(build)(rng)
 
 
 def make_fg_gan_train_step(cfg: FGGanConfig, donate: bool = True,

@@ -89,7 +89,10 @@ def make_optimizer(cfg: MatchingConfig) -> optax.GradientTransformation:
 
 def create_matching_state(params: Params, cfg: MatchingConfig) -> MatchingTrainState:
     trainable, _ = _split_trainable(params, cfg)
-    opt_state = make_optimizer(cfg).init(trainable)
+    # jitted: eager optax init dispatches one zeros-op per leaf (hundreds
+    # for ResNet-101 -- one tunnel round-trip each on TPU).  params pass
+    # through untouched (not through the jit, so no device copy).
+    opt_state = jax.jit(make_optimizer(cfg).init)(trainable)
     return MatchingTrainState(params=params, opt_state=opt_state,
                               step=jnp.zeros((), jnp.int32))
 
