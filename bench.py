@@ -679,37 +679,48 @@ def _run_sections() -> None:
         detail["match_score_cache"] = True
 
         if "warm" in sessions:
-            # --- headline: stream request batching, the product-default
-            # serving config (byte-identical records; images equal up to
-            # the batched-BN reduction-order caveat, session.py header)
+            # rounds for the three post-warm_build sections: every program
+            # they dispatch is already compiled, so a round costs ~1-3 s --
+            # extra rounds are nearly free and the tunnel's 3-150 ms
+            # dispatch swing makes 3-round medians noisy (r5 rehearsal:
+            # stream rounds spread 9.5-13.7 passes/s)
+            warm_rounds = max(ROUNDS, 7)
+            # --- stress workload: stream request batching, the
+            # product-default serving config (byte-identical records;
+            # images equal up to the batched-BN reduction-order caveat,
+            # session.py header)
             r = section("pipeline_stream",
                         lambda: bench_pipeline(sessions["warm"], FG_TEXTS,
-                                               PASSES, ROUNDS, stream=True))
+                                               PASSES, warm_rounds,
+                                               stream=True))
             if r:
                 _SEQ_RATES[:] = r
                 detail["headline_config"] = "stream"
                 detail["pipeline_stream_passes_per_sec"] = _stats(r)
                 _emit_provisional()      # headline exists from here on
 
-            # --- production-like selectivity: with UNTRAINED matching
-            # params every instruction matches all 18 fixture instances
-            # (the thresholded sigmoid covers the whole drawing), ~6-18x
-            # the per-pass GAN/fetch work a trained model produces ("the
-            # bus is yellow" colors one bus, fg_color_utils.py:282-345
-            # loops only matched instances).  Threshold 0.885 keeps the
-            # identical full serving path but selects ~1-3 instances/pass
-            # (disclosed above), measuring realistic request cost.  NOT
-            # the headline; the headline keeps reference threshold 0.5.
+            # --- THE HEADLINE: the target-defined realistic workload
+            # (BASELINE.md).  With UNTRAINED matching params every
+            # instruction matches all 18 fixture instances (the thresholded
+            # sigmoid covers the whole drawing), ~6-18x the per-pass
+            # GAN/fetch work a trained model produces ("the bus is yellow"
+            # colors one bus, fg_color_utils.py:282-345 loops only matched
+            # instances).  Threshold 0.885 keeps the identical full serving
+            # path but selects ~1-3 instances/pass (disclosed above),
+            # measuring realistic request cost; the all-18 stress rate
+            # above stays fully reported alongside.
             r = section("pipeline_selective",
                         lambda: bench_pipeline(sessions["sel"], FG_TEXTS,
-                                               PASSES, ROUNDS, stream=True))
+                                               PASSES, warm_rounds,
+                                               stream=True))
             if r:
                 _SEL_RATES[:] = r        # the headline: target workload
                 detail["pipeline_selective_passes_per_sec"] = _stats(r)
                 _emit_provisional()
 
             r = section("bg", lambda: bench_pipeline(sessions["warm"],
-                                                     BG_TEXTS, 4, 3))
+                                                     BG_TEXTS, 4,
+                                                     warm_rounds))
             if r:
                 detail["bg_passes_per_sec"] = _stats(r)
                 _emit_provisional()
