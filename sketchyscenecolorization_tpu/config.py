@@ -256,6 +256,23 @@ class PipelineConfig:
                                          # -- scores are cached pre-threshold;
                                          # output-preserving, tested)
     max_cached_match_texts: int = 256    # bound of that per-image LRU; 0 = off
+    serve_gan_data_parallel: int = 0     # >1: shard the batched FG instance-
+                                         # GAN forward (the measured serving
+                                         # device floor, ~1.1 ms/row f32) over
+                                         # a ('data',) mesh of that many
+                                         # devices -- rows are independent
+                                         # (per-sample BN), so a K-row bucket
+                                         # splits K/n per chip and XLA moves
+                                         # only the row inputs/outputs over
+                                         # ICI.  Outputs match the unsharded
+                                         # engine up to the same batch-bucket
+                                         # reduction-order envelope as
+                                         # sequential-vs-stream (session.py
+                                         # header); records byte-identical
+                                         # (tested on the 8-device CPU mesh).
+                                         # 0/1 or fewer devices than asked =
+                                         # single-device (the bench default;
+                                         # one real chip under the tunnel)
 
 
 @dataclass(frozen=True)

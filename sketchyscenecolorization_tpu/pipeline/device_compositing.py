@@ -178,7 +178,7 @@ class DeviceCompositor:
             while len(self._programs) > _MAX_PROGRAMS:
                 self._programs.popitem(last=False)
         canvas, patches, fg_engine._rng = fn(
-            fg_engine.g_params, fg_engine._rng, tuple(rows),
+            fg_engine._serve_params(), fg_engine._rng, tuple(rows),
             np_mod.asarray(tokens_rows, np_mod.int32),
             np_mod.asarray(class_ids, np_mod.int32), canvas_dev)
         return canvas, patches

@@ -173,10 +173,17 @@ class FGColorizeEngine:
     MAX_GAN_ROWS = 128      # largest fused prepare+forward batch (HBM bound)
 
     def __init__(self, cfg: FGGanConfig, g_params: Dict[str, Any],
-                 vocab: Dict[str, int], seed: int = 0):
+                 vocab: Dict[str, int], seed: int = 0, serve_mesh=None):
         self.cfg = cfg
         self.g_params = g_params
         self.vocab = vocab
+        # optional serving data-parallelism (PipelineConfig.
+        # serve_gan_data_parallel): a ('data',) jax.sharding.Mesh -- the
+        # batched prepare+forward shards its row (batch) dim across it,
+        # params replicated once, so a stream segment's GAN compute scales
+        # over chips.  None = single-device (the tunnel's one real chip).
+        self._serve_mesh = serve_mesh
+        self._g_params_mesh = None
         self._rng = jax.random.PRNGKey(seed)
         from ..train.fg_gan import build_models
         gen, _ = build_models(cfg)          # MRU / Pix2Pix / Residual
@@ -291,16 +298,43 @@ class FGColorizeEngine:
         cfg = self.cfg
         gen, _ = build_models(cfg)
         prepare = self._prepare_fn()
+        mesh = self._serve_mesh
 
         def prep_fwd(g_params, rng, rows, tokens, labels, *, bucket):
             x, tok, ids, noise, new_rng = prepare(rng, rows, tokens, labels,
                                                   bucket=bucket)
+            if mesh is not None and bucket % mesh.shape["data"] == 0:
+                # serving DP: rows are independent (per-sample BN), so the
+                # bucket splits evenly over the 'data' axis; GSPMD partitions
+                # the generator per shard and only the row inputs/outputs
+                # move over ICI.  Buckets smaller than the axis stay
+                # single-device (pad-row waste would exceed the win).
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                def row_sharding(nd):
+                    return NamedSharding(
+                        mesh, PartitionSpec("data", *([None] * (nd - 1))))
+                x = jax.lax.with_sharding_constraint(x, row_sharding(4))
+                tok = jax.lax.with_sharding_constraint(tok, row_sharding(2))
+                ids = jax.lax.with_sharding_constraint(ids, row_sharding(1))
+                noise = jax.lax.with_sharding_constraint(noise,
+                                                         row_sharding(2))
             with per_sample_stats_scope(), compute_dtype_scope(cfg.compute_dtype):
                 out = gen.apply({"params": g_params}, x, tok, ids, noise)
             out_u8 = (((out.astype(jnp.float32) + 1.0) / 2.0) * 255.0
                       ).astype(jnp.uint8)
             return out_u8, new_rng
         return prep_fwd
+
+    def _serve_params(self):
+        """Generator params for the batched forward: replicated onto the
+        serving mesh once (first sharded call) when DP is on."""
+        if self._serve_mesh is None:
+            return self.g_params
+        if self._g_params_mesh is None:
+            from ..parallel import replicate
+            self._g_params_mesh = replicate(self.g_params, self._serve_mesh)
+        return self._g_params_mesh
 
     def _build_prepare_forward(self):
         self._prep_fwd = jax.jit(self.prep_fwd_fn(),
@@ -354,7 +388,7 @@ class FGColorizeEngine:
             return jnp.concatenate(outs), k
         bucket = self.bucket_for(k)
         out, self._rng = self._prep_fwd(
-            self.g_params, self._rng, rows,
+            self._serve_params(), self._rng, rows,
             np.asarray(tokens_rows, np.int32),
             np.asarray(class_ids25, np.int32), bucket=bucket)
         return out, k

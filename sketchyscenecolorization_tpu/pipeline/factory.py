@@ -35,6 +35,19 @@ def _placeholder_vocab(size: int) -> Dict[str, int]:
     return {w: i for i, w in enumerate(words)}
 
 
+def serve_mesh_for(cfg: FrameworkConfig):
+    """Serving data-parallel mesh for the batched instance-GAN forward (the
+    measured serving device floor): a ('data',) mesh over the first
+    ``pipeline.serve_gan_data_parallel`` devices.  Falls back to None
+    (single-device, outputs preserved) when the host has fewer chips than
+    asked -- e.g. the one-chip tunnel."""
+    n_dp = cfg.pipeline.serve_gan_data_parallel
+    if n_dp > 1 and len(jax.devices()) >= n_dp:
+        from ..parallel import create_mesh
+        return create_mesh(data=n_dp, model=1, devices=jax.devices()[:n_dp])
+    return None
+
+
 def _maybe_restore(ckpt_dir: str, template):
     found = latest_checkpoint(ckpt_dir) if ckpt_dir else None
     if found is None:
@@ -84,6 +97,7 @@ def build_session(cfg: FrameworkConfig, seed: int = 0) -> ColorizationSession:
         cfg,
         MatchingEngine(cfg.matching, m_params, m_vocab,
                        cfg.pipeline.score_thresh),
-        FGColorizeEngine(cfg.fg_gan, f_params, f_vocab, seed=seed),
+        FGColorizeEngine(cfg.fg_gan, f_params, f_vocab, seed=seed,
+                         serve_mesh=serve_mesh_for(cfg)),
         BGColorizeEngine(cfg.bg_gan, b_params, b_vocab),
     )

@@ -405,10 +405,11 @@ class ColorizationSession:
         stream.  With the build seed and unchanged model configs this is
         output-identical to ``build_session(new_cfg, seed)`` minus the
         compile cost.  ``pipeline_overrides`` replace ``cfg.pipeline`` fields
-        only; ``score_thresh`` is baked into the matching engine at build
-        time and cannot be overridden here."""
+        only; ``score_thresh`` and ``serve_gan_data_parallel`` are baked
+        into the engines at build time and cannot be overridden here."""
         import dataclasses
         assert "score_thresh" not in pipeline_overrides
+        assert "serve_gan_data_parallel" not in pipeline_overrides
         cfg = dataclasses.replace(
             self.cfg,
             pipeline=dataclasses.replace(self.cfg.pipeline,

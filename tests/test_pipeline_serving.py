@@ -639,3 +639,133 @@ def test_cache_bounds_soak_matches_unbounded(serving_env):
         rec_u = json.load(open(tmp / "soak_u" / "update_records" /
                                f"{i}_records.json"))
         assert rec_b == rec_u and len(rec_b) == 2
+
+
+# ------------------------------------------------ serving data-parallelism
+
+def test_serve_mesh_for_wiring():
+    """``factory.serve_mesh_for``: a ('data',) mesh over the first N devices
+    when enough exist; None (single-device fallback) otherwise."""
+    from sketchyscenecolorization_tpu.config import FrameworkConfig, PipelineConfig
+    from sketchyscenecolorization_tpu.pipeline.factory import serve_mesh_for
+
+    def cfg(n):
+        return dataclasses.replace(
+            FrameworkConfig(),
+            pipeline=PipelineConfig(serve_gan_data_parallel=n))
+
+    assert serve_mesh_for(cfg(0)) is None
+    assert serve_mesh_for(cfg(1)) is None
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "suite expects the 8-virtual-device CPU mesh"
+    mesh = serve_mesh_for(cfg(4))
+    assert mesh is not None and dict(mesh.shape) == {"data": 4, "model": 1}
+    assert serve_mesh_for(cfg(n_dev + 1)) is None   # more than the host has
+
+
+def test_serve_dp_engine_matches_single_device():
+    """The mesh-sharded batched prepare+forward (serving DP over the 'data'
+    axis) must reproduce the single-device engine: same noise chain (rng
+    advance bitwise equal), outputs within the documented batch-bucket
+    reduction-order envelope (session.py header; per-sample BN keeps rows
+    independent, so sharding the row dim changes no reduction *set*), and
+    the output actually sharded across the mesh."""
+    from sketchyscenecolorization_tpu.config import FGGanConfig
+    from sketchyscenecolorization_tpu.parallel import create_mesh
+    from sketchyscenecolorization_tpu.pipeline.engines import FGColorizeEngine
+    from sketchyscenecolorization_tpu.train.fg_gan import build_models
+    cfg = FGGanConfig(image_size=32, vocab_size=12, max_len=6,
+                      base_channels=8, num_classes=5, noise_dim=8)
+    gen, _ = build_models(cfg)
+    s = cfg.image_size
+    params = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, s, s, 3), jnp.float32),
+                      jnp.zeros((1, cfg.max_len), jnp.int32),
+                      jnp.zeros((1,), jnp.int32),
+                      jnp.zeros((1, cfg.noise_dim), jnp.float32))["params"]
+    vocab = {"<pad>": 0, "<unk>": 1, "red": 2}
+    rng = np.random.RandomState(0)
+    k = 6                                   # pads to bucket 8 = 2 rows/shard
+    sketches = rng.uniform(-1, 1, (k, s, s, 3)).astype(np.float32)
+    ids = [1, 4, 2, 0, 3, 1]
+    toks = rng.randint(0, cfg.vocab_size, (k, cfg.max_len)).astype(np.int32)
+
+    single = FGColorizeEngine(cfg, params, vocab, seed=7)
+    mesh = create_mesh(data=4, model=1, devices=jax.devices()[:4])
+    sharded = FGColorizeEngine(cfg, params, vocab, seed=7, serve_mesh=mesh)
+
+    out_1, k1 = single.colorize_rows_dev(sketches, ids, toks)
+    out_n, kn = sharded.colorize_rows_dev(sketches, ids, toks)
+    assert k1 == kn == k
+    # the bucket really is distributed over the mesh
+    assert len(out_n.sharding.device_set) == 4
+    # rng advance is part of the same jitted program: must stay bitwise
+    np.testing.assert_array_equal(np.asarray(single._rng),
+                                  np.asarray(sharded._rng))
+    a = np.asarray(out_1[:k]).astype(int)
+    b = np.asarray(out_n[:k]).astype(int)
+    diff = np.abs(a - b)
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+    assert (diff > 0).mean() < 0.01
+
+    # buckets not divisible by the axis stay single-device (no constraint);
+    # both engines continue the same rng stream (asserted equal above)
+    out_small, _ = sharded.colorize_rows_dev(sketches[:2], ids[:2], toks[:2])
+    want_small, _ = single.colorize_rows_dev(sketches[:2], ids[:2], toks[:2])
+    np.testing.assert_array_equal(np.asarray(out_small[:2]),
+                                  np.asarray(want_small[:2]))
+
+
+def test_serve_dp_session_matches_default(serving_env):
+    """A session whose FG engine shards GAN rows over a 4-device 'data' mesh
+    serves the same stream: records byte-identical, images within the
+    documented reduction-order envelope of the single-device session."""
+    from sketchyscenecolorization_tpu.config import PipelineConfig
+    from sketchyscenecolorization_tpu.parallel import create_mesh
+    from sketchyscenecolorization_tpu.pipeline.engines import FGColorizeEngine
+    from sketchyscenecolorization_tpu.pipeline.session import ColorizationSession
+    tmp, cfg, base = serving_env
+
+    texts = ["the bus is yellow", "the grass is green",
+             "the sky is blue and the ground is green", "the bus is red"]
+
+    # matching stubbed deterministic on BOTH sessions (the random-init
+    # matcher matches nothing on this fixture): the first FG run carries
+    # 2 passes x 2 instances = 4 rows -> bucket 4, divisible by the mesh
+    # axis, so the DP sharding constraint genuinely applies
+    routes = {"the bus is yellow": [0, 1], "the grass is green": [0, 1],
+              "the bus is red": [0, 1]}
+
+    def stubbed(session):
+        def _match_many(self, state, input_texts):
+            return [list(routes[t]) for t in input_texts]
+        session._match_many = types.MethodType(_match_many, session)
+        return session
+
+    ref = stubbed(base.clone(seed=9, results_base_dir=str(tmp / "dp_ref")))
+    ref_paths = ref.colorize_stream(7, texts)
+
+    mesh = create_mesh(data=4, model=1, devices=jax.devices()[:4])
+    dp_cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, results_base_dir=str(tmp / "dp_out"),
+            serve_gan_data_parallel=4))
+    dp = stubbed(ColorizationSession(
+        dp_cfg, base.matching,
+        FGColorizeEngine(base.fg.cfg, base.fg.g_params, base.fg.vocab,
+                         seed=9, serve_mesh=mesh),
+        base.bg))
+    dp_paths = dp.colorize_stream(7, texts)
+
+    assert [os.path.basename(p) for p in ref_paths] == \
+        [os.path.basename(p) for p in dp_paths]
+    for a_p, b_p in zip(ref_paths, dp_paths):
+        a = np.array(Image.open(a_p).convert("RGB")).astype(int)
+        b = np.array(Image.open(b_p).convert("RGB")).astype(int)
+        diff = np.abs(a - b)
+        assert diff.max() <= 1, f"{a_p}: max diff {diff.max()}"
+    rec_a = json.load(open(tmp / "dp_ref" / "update_records" /
+                           "7_records.json"))
+    rec_b = json.load(open(tmp / "dp_out" / "update_records" /
+                           "7_records.json"))
+    assert rec_a == rec_b
