@@ -622,3 +622,56 @@ def convert_fg_discriminator(tf_vars: TFVars, d_params_template: Params,
     if strict and missing:
         raise KeyError(f"{len(missing)} variables missing, first: {missing[:5]}")
     return out
+
+
+# ------------------------------------------------------------ Inception-v4
+
+def inception_v4_name_map(final_endpoint: str = "Mixed_7d",
+                          num_classes: Optional[int] = None,
+                          create_aux_logits: bool = True
+                          ) -> Dict[str, Tuple[str, ...]]:
+    """{tf_name: our-tree path} for the slim Inception-v4 checkpoint
+    (``obj_lib/inception_v4.py``; restored by the reference's perceptual
+    scaffold from the stock ImageNet ckpt, ``graph_single.py:505-511``).
+    Our parameter paths mirror the slim scopes 1:1 (models/inception_v4.py),
+    so the map is the scope path minus the ``InceptionV4/`` prefix."""
+    from ..models.inception_v4 import _AUX, conv_table
+    m: Dict[str, Tuple[str, ...]] = {}
+    convs = list(conv_table(final_endpoint))
+    heads = []
+    if num_classes is not None and final_endpoint == "Mixed_7d":
+        if create_aux_logits:
+            convs += _AUX
+            heads.append("AuxLogits/Aux_logits")
+        heads.append("Logits/Logits")
+    for path, _shape in convs:
+        parts = tuple(path.split("/"))
+        m[f"InceptionV4/{path}/weights"] = parts + ("weights",)
+        for leaf in ("beta", "moving_mean", "moving_variance"):
+            m[f"InceptionV4/{path}/BatchNorm/{leaf}"] = \
+                parts + ("BatchNorm", leaf)
+    for path in heads:
+        parts = tuple(path.split("/"))
+        m[f"InceptionV4/{path}/weights"] = parts + ("weights",)
+        m[f"InceptionV4/{path}/biases"] = parts + ("biases",)
+    return m
+
+
+def convert_inception_v4(tf_vars: TFVars,
+                         final_endpoint: str = "Mixed_7d",
+                         num_classes: Optional[int] = None,
+                         create_aux_logits: bool = True,
+                         strict: bool = False) -> Params:
+    """Flat slim InceptionV4 vars -> the ``models/inception_v4`` tree."""
+    name_map = inception_v4_name_map(final_endpoint, num_classes,
+                                     create_aux_logits)
+    tree: Params = {}
+    missing: List[str] = []
+    for tf_name, path in name_map.items():
+        if tf_name not in tf_vars:
+            missing.append(tf_name)
+            continue
+        _set_path(tree, path, np.asarray(tf_vars[tf_name]))
+    if strict and missing:
+        raise KeyError(f"{len(missing)} variables missing, first: {missing[:5]}")
+    return tree
