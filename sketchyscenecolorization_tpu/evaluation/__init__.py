@@ -3,4 +3,5 @@ from .metrics import (
     MAP_IOU_THRESHOLDS,
 )
 from .harness import MatchingEvaluator, SegEvalResult
-from .inception_score import inception_score, acgan_class_probs
+from .inception_score import (acgan_class_probs, inception_score,
+                              inception_v4_class_probs)

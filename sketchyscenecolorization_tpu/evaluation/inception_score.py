@@ -51,3 +51,33 @@ def acgan_class_probs(cfg, d_params, d_sn, images: np.ndarray,
         chunk = jnp.asarray(images[i:i + batch_size])
         out.append(np.asarray(probs_fn(d_params, d_sn, chunk)))
     return np.concatenate(out)
+
+
+def inception_v4_class_probs(inception_params, images: np.ndarray,
+                             batch_size: int = 8) -> np.ndarray:
+    """Class posteriors from the full Inception-v4 classifier for a stack of
+    [-1, 1] images [N, S, S, 3] -- the classic inception-score classifier the
+    reference's disabled hook intended (``main_procedure.py:102-103``; the
+    stock slim ImageNet checkpoint restores via
+    ``utils/tf1_converter.py:convert_inception_v4``).  Images are bilinearly
+    resized to 299 and kept in slim's [-1, 1] range."""
+    from ..models.inception_v4 import inception_v4
+    from ..ops.image import resize_bilinear_half_pixel
+
+    @jax.jit
+    def probs_fn(params, x):
+        x = resize_bilinear_half_pixel(x, 299, 299)
+        _, eps = inception_v4(params, x)
+        return eps["Predictions"]
+
+    out = []
+    for i in range(0, len(images), batch_size):
+        chunk = jnp.asarray(images[i:i + batch_size], jnp.float32)
+        pad = 0
+        if len(chunk) < batch_size and len(out):   # keep one compiled shape
+            pad = batch_size - len(chunk)
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((pad,) + chunk.shape[1:], jnp.float32)])
+        p = np.asarray(probs_fn(inception_params, chunk))
+        out.append(p[:len(p) - pad] if pad else p)
+    return np.concatenate(out)

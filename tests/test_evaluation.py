@@ -104,3 +104,24 @@ def test_acgan_class_probs_shapes():
                               batch_size=3)
     assert probs.shape == (5, cfg.num_classes)
     np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-5)
+
+
+import pytest
+
+
+@pytest.mark.heavy
+def test_inception_v4_class_probs_and_score():
+    """The real-classifier IS path: full v4 posteriors are a distribution
+    and feed inception_score.  (heavy: compiles the full v4 on CPU.)"""
+    import jax
+    from sketchyscenecolorization_tpu.evaluation import (
+        inception_score, inception_v4_class_probs)
+    from sketchyscenecolorization_tpu.models import inception_v4 as inc
+    params = inc.init_params(jax.random.PRNGKey(0), num_classes=9,
+                             create_aux_logits=False)
+    imgs = np.random.RandomState(0).uniform(-1, 1, (3, 64, 64, 3))
+    probs = inception_v4_class_probs(params, imgs, batch_size=2)
+    assert probs.shape == (3, 9)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-5)
+    mean, _ = inception_score(probs, splits=1)
+    assert 1.0 <= mean <= 9.0 + 1e-6
