@@ -216,12 +216,17 @@ def _probe_backend() -> str:
     # anyway the JSON discloses tunnel_degraded + the measured MB/s.
     min_mbps = float(os.environ.get("BENCH_MIN_TUNNEL_MBPS", "4"))
     t_end = time.monotonic() + max(deadline - reserve, timeout)
+    # NB: the timed fetch must be a FRESH device buffer -- np.asarray of an
+    # already-materialized array serves jax's host-side copy (measured
+    # "0 ms" on a tunnel whose real 4 MB fetch took 146 s)
     code = (
         "import time, json; t0 = time.time(); import jax; import numpy as np; "
         "d = jax.devices(); init = time.time() - t0; "
         "x = jax.device_put(np.zeros((1 << 20,), np.uint8)); "
-        "jax.block_until_ready(x); np.asarray(x); "      # warm the path once
-        "t0 = time.time(); np.asarray(x); dt = max(time.time() - t0, 1e-9); "
+        "f = jax.jit(lambda a, k: a + k); "
+        "np.asarray(f(x, np.uint8(1))); "                # warm path + compile
+        "y = f(x, np.uint8(2)); jax.block_until_ready(y); "
+        "t0 = time.time(); np.asarray(y); dt = max(time.time() - t0, 1e-9); "
         "print(json.dumps({'platform': d[0].platform, 'n': len(d), "
         "'init_s': round(init, 1), 'fetch_mb_s': round(1.0 / dt, 1)}))")
     last = ""
